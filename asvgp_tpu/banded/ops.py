@@ -1,0 +1,262 @@
+"""Core banded linear-algebra ops (scan-based, differentiable).
+
+TPU-native replacements for the reference's C++ ``banded_matrices`` custom
+ops with registered gradients (reference call sites: asvgp/gpr.py:56-75):
+
+  cholesky_band             <- banded.cholesky_band
+  takahashi_inverse_band    <- banded.inverse_from_cholesky_band
+  product_band_band         <- banded.product_band_band
+  solve_lower_band          <- banded.solve_triang_mat
+  band_frobenius            <- the (result bandwidth 0) product + reduce_sum
+                               trace trick at asvgp/gpr.py:60-70
+
+Sequential recursions (Cholesky, triangular solves, Takahashi) run as
+``lax.scan`` over the m columns carrying a k-column window; the per-step
+work is O(k^2) with k <= 6, so the scan body is tiny and XLA keeps the whole
+thing on-chip.  Band products and matvecs are *parallel* diagonal
+convolutions (static shifts), no scan.  Everything is differentiable via
+JAX's native scan autodiff; numerical gradient checks live in
+tests/test_banded.py.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from asvgp_tpu.banded.layout import mask_band, shift_cols
+
+
+def _col_mask(i, k: int, m: int, dtype):
+    """Mask (k+1,) of valid band rows for column i: row j valid iff i + j < m."""
+    return (i + jnp.arange(k + 1) < m).astype(dtype)
+
+
+def cholesky_band(a_band: jnp.ndarray) -> jnp.ndarray:
+    """Banded Cholesky: lower band of L with A = L L^T.
+
+    Args:
+      a_band: (k+1, m) lower band of a symmetric positive-definite matrix.
+    Returns:
+      (k+1, m) lower band of L, right-padding slots zeroed.
+    """
+    k = a_band.shape[0] - 1
+    m = a_band.shape[1]
+    dtype = a_band.dtype
+
+    if k == 0:
+        return jnp.sqrt(a_band)
+
+    def step(carry, inp):
+        # carry C: (k, k+1), C[p-1, :] = L_band[:, i-p] (zeros if i-p < 0)
+        C = carry
+        a_col, i = inp
+        Cpad = jnp.pad(C, ((0, 0), (0, k)))  # (k, 2k+1)
+        # g_p = L[i, i-p] = C[p-1, p]
+        # s_j = sum_p g_p * L[i+j, i-p] = sum_p g_p * Cpad[p-1, j+p]
+        s = jnp.zeros((k + 1,), dtype)
+        for p in range(1, k + 1):
+            g_p = C[p - 1, p]
+            s = s + g_p * lax.dynamic_slice(Cpad[p - 1], (p,), (k + 1,))
+        l0 = jnp.sqrt(a_col[0] - s[0])
+        col = jnp.concatenate([l0[None], (a_col[1:] - s[1:]) / l0])
+        col = col * _col_mask(i, k, m, dtype)
+        C_new = jnp.concatenate([col[None, :], C[:-1]], axis=0)
+        return C_new, col
+
+    init = jnp.zeros((k, k + 1), dtype)
+    _, cols = lax.scan(step, init, (a_band.T, jnp.arange(m)))
+    return cols.T
+
+
+def log_det_from_cholesky(l_band: jnp.ndarray) -> jnp.ndarray:
+    """log|A| = 2 sum_i log L[i, i] given the banded Cholesky factor."""
+    return 2.0 * jnp.sum(jnp.log(l_band[0]))
+
+
+def solve_lower_band(l_band: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Solve L x = b for banded lower-triangular L (forward substitution).
+
+    Args:
+      l_band: (k+1, m) lower band of L.
+      b: (m,) or (m, r) right-hand side.
+    Returns:
+      x with the same shape as b.
+    """
+    k = l_band.shape[0] - 1
+    m = l_band.shape[1]
+    dtype = l_band.dtype
+    vec = b.ndim == 1
+    b2 = b[:, None] if vec else b
+    r = b2.shape[1]
+
+    if k == 0:
+        x = b2 / l_band[0][:, None]
+        return x[:, 0] if vec else x
+
+    # G[p-1, i] = L[i, i-p] = l_band[p, i-p]
+    G = jnp.stack([shift_cols(l_band[p], -p) for p in range(1, k + 1)], axis=0)
+
+    def step(X, inp):
+        # X: (k, r), X[p-1] = x[i-p]
+        g_col, l0, b_row = inp
+        s = jnp.sum(g_col[:, None] * X, axis=0)
+        xi = (b_row - s) / l0
+        X_new = jnp.concatenate([xi[None, :], X[:-1]], axis=0)
+        return X_new, xi
+
+    init = jnp.zeros((k, r), dtype)
+    _, x = lax.scan(step, init, (G.T, l_band[0], b2))
+    return x[:, 0] if vec else x
+
+
+def solve_upper_band_transpose(l_band: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Solve L^T x = b for banded lower-triangular L (backward substitution)."""
+    k = l_band.shape[0] - 1
+    dtype = l_band.dtype
+    vec = b.ndim == 1
+    b2 = b[:, None] if vec else b
+    r = b2.shape[1]
+
+    if k == 0:
+        x = b2 / l_band[0][:, None]
+        return x[:, 0] if vec else x
+
+    def step(X, inp):
+        # X: (k, r), X[p-1] = x[i+p]
+        l_col, b_row = inp
+        s = jnp.sum(l_col[1:, None] * X, axis=0)
+        xi = (b_row - s) / l_col[0]
+        X_new = jnp.concatenate([xi[None, :], X[:-1]], axis=0)
+        return X_new, xi
+
+    init = jnp.zeros((k, r), dtype)
+    _, x = lax.scan(step, init, (l_band.T, b2), reverse=True)
+    return x[:, 0] if vec else x
+
+
+def cholesky_solve_band(l_band: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Solve A x = b given the banded Cholesky factor L of A."""
+    return solve_upper_band_transpose(l_band, solve_lower_band(l_band, b))
+
+
+def takahashi_inverse_band(l_band: jnp.ndarray) -> jnp.ndarray:
+    """Band of A^{-1} from the banded Cholesky factor L (Takahashi recursion).
+
+    Computes the entries of S = A^{-1} on the band |i - j| <= k *exactly*
+    (the sparse-inverse-subset recursion is exact on the sparsity pattern of
+    L^T + L).  Equivalent of the reference's
+    ``banded.inverse_from_cholesky_band`` (asvgp/gpr.py:59).
+
+    Args:
+      l_band: (k+1, m) lower band of L (right-padding must be zero, as
+        produced by :func:`cholesky_band`).
+    Returns:
+      (k+1, m) lower band of A^{-1}.
+    """
+    k = l_band.shape[0] - 1
+    m = l_band.shape[1]
+    dtype = l_band.dtype
+
+    if k == 0:
+        return 1.0 / (l_band * l_band)
+
+    def step(CS, inp):
+        # CS: (k, k+1), CS[p-1, :] = S_band[:, j+p] (zeros beyond the end).
+        l_col, j = inp
+        d = 1.0 / l_col[0]
+        w = l_col[1:]  # w[p-1] = L[j+p, j]
+        # M[q-1, p-1] = S[j+max(p,q), j+min(p,q)] = CS[min(p,q)-1, |q-p|]
+        M = jnp.stack(
+            [
+                jnp.stack([CS[min(p, q) - 1, abs(q - p)] for p in range(1, k + 1)])
+                for q in range(1, k + 1)
+            ]
+        )
+        # elementwise contraction: tiny f64 matmuls are pathologically slow
+        # on TPU (MXU f64 emulation), the VPU path is fast
+        s = -d * jnp.sum(M * w[None, :], axis=1)  # off-diag S[j+q, j], q=1..k
+        sjj = d * d - d * jnp.sum(w * s)
+        col = jnp.concatenate([sjj[None], s])
+        col = col * _col_mask(j, k, m, dtype)
+        CS_new = jnp.concatenate([col[None, :], CS[:-1]], axis=0)
+        return CS_new, col
+
+    init = jnp.zeros((k, k + 1), dtype)
+    _, cols = lax.scan(step, init, (l_band.T, jnp.arange(m)), reverse=True)
+    return cols.T
+
+
+def band_frobenius(a_band: jnp.ndarray, b_band: jnp.ndarray) -> jnp.ndarray:
+    """trace(A @ B) for symmetric A, B given as lower bands.
+
+    Replaces the reference's product_band_band(..., result bandwidth 0) +
+    reduce_sum trace trick (asvgp/gpr.py:60-70) with a single fused
+    elementwise reduction: tr(AB) = sum_i a0_i b0_i + 2 sum_{j>=1,i} aj_i bj_i.
+    """
+    kw = min(a_band.shape[0], b_band.shape[0])
+    a = a_band[:kw]
+    b = b_band[:kw]
+    diag = jnp.sum(a[0] * b[0])
+    off = jnp.sum(a[1:] * b[1:])
+    return diag + 2.0 * off
+
+
+def product_band_band(
+    a_band: jnp.ndarray,
+    b_band: jnp.ndarray,
+    *,
+    a_lower: int,
+    a_upper: int,
+    b_lower: int,
+    b_upper: int,
+    out_lower: int,
+    out_upper: int,
+) -> jnp.ndarray:
+    """C = A @ B restricted to a requested output band.
+
+    All operands use general-band storage (see banded/__init__.py).  This is
+    a parallel diagonal convolution over static offsets — no scan.
+    Equivalent of the reference's ``banded.product_band_band``
+    (asvgp/gpr.py:60-69) including the caller-specified result bandwidth.
+    """
+    m = a_band.shape[1]
+    dtype = a_band.dtype
+    out = jnp.zeros((out_lower + out_upper + 1, m), dtype)
+    rows = []
+    for c in range(-out_upper, out_lower + 1):
+        row = jnp.zeros((m,), dtype)
+        for s in range(-b_upper, b_lower + 1):
+            a_off = c - s
+            if not (-a_upper <= a_off <= a_lower):
+                continue
+            # C[j + c, j] += A[j + c, j + s] * B[j + s, j]
+            a_row = a_band[a_off + a_upper]
+            b_row = b_band[s + b_upper]
+            row = row + shift_cols(a_row, s) * b_row
+        rows.append(row)
+    out = jnp.stack(rows, axis=0)
+    return mask_band(out, out_lower, out_upper)
+
+
+def matvec_band(band: jnp.ndarray, x: jnp.ndarray, *, lower: int, upper: int) -> jnp.ndarray:
+    """y = M x for M in general-band storage; x is (m,)."""
+    y = jnp.zeros_like(x)
+    for r in range(lower + upper + 1):
+        off = r - upper  # y[i + off] += band[r, i] * x[i]
+        y = y + shift_cols(band[r] * x, -off)
+    return y
+
+
+def matvec_symmetric_band(lower_band: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    """y = M x for symmetric M given as a lower band; x is (m,)."""
+    k = lower_band.shape[0] - 1
+    y = lower_band[0] * x
+    for j in range(1, k + 1):
+        row = lower_band[j]
+        y = y + shift_cols(row * x, -j)      # lower part: y[i+j] += row[i] x[i]
+        y = y + row * shift_cols(x, j)       # upper part: y[i] += row[i] x[i+j]
+    return y

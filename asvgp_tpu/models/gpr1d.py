@@ -1,0 +1,213 @@
+"""GPR1D — the flagship 1-D banded ASVGP regression model.
+
+TPU-native equivalent of the reference ``GPR_1d`` (asvgp/gpr.py:18-136).
+The collapsed (Titsias/SGPR) ELBO is computed entirely in banded arithmetic,
+O(m·k²) per evaluation independent of N; the data enter only through the
+sufficient statistics computed once at construction (and reducible over a
+device mesh — see stats/sufficient.py).
+
+Prediction is *algorithmically improved* over the reference: instead of
+CHOLMOD sparse solves against an (m, n_test) right-hand side
+(reference asvgp/gpr.py:91-136, O(m·k·n_test) memory-heavy), we use the
+locality of Kus: each test point touches only a (k+1)-window of the band of
+P⁻¹ and Kuu⁻¹ (both exact via the Takahashi recursion), so
+
+  mean_i = kus_iᵀ (P⁻¹ Kuf y)/σ²              — one banded solve, O(m k)
+  var_i  = σ_f² + kus_iᵀ (P⁻¹ − Kuu⁻¹) kus_i   — banded gathers, O(k²) per pt
+
+This is mathematically identical to the reference's predictor (same q(u))
+but runs as fully-vectorized gathers on TPU with no per-batch factorization
+and no remainder-dropping 10k-chunk loop (reference quirk at gpr.py:130-134,
+fixed here; SURVEY.md §7.3 item 6).
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+from asvgp_tpu import banded
+from asvgp_tpu.basis.splines import BSplineBasis
+from asvgp_tpu.features.spline_features import make_kuf, make_kuu
+from asvgp_tpu.models.kernels import Matern
+from asvgp_tpu.models.likelihoods import Gaussian
+from asvgp_tpu.models.parameters import positive, positive_inverse
+from asvgp_tpu.stats.sufficient import (
+    SufficientStats,
+    compute_stats,
+    compute_stats_sharded,
+)
+
+_LOG2PI = math.log(2.0 * math.pi)
+
+
+def params_to_kernel(params, nu2: int) -> Matern:
+    return Matern(
+        variance=positive(params["kernel"]["raw_variance"]),
+        lengthscales=positive(params["kernel"]["raw_lengthscales"]),
+        nu2=nu2,
+    )
+
+
+def params_to_likelihood(params) -> Gaussian:
+    return Gaussian(variance=positive(params["likelihood"]["raw_variance"]))
+
+
+def default_params(kernel: Matern, noise_variance=1.0):
+    return {
+        "kernel": {
+            "raw_variance": positive_inverse(kernel.variance),
+            "raw_lengthscales": positive_inverse(kernel.lengthscales),
+        },
+        "likelihood": {"raw_variance": positive_inverse(noise_variance)},
+    }
+
+
+def collapsed_elbo_banded(stats: SufficientStats, kuu_band, sigma2, kdiag_sum):
+    """The collapsed ELBO from banded Kuu + sufficient statistics.
+
+    Mirrors reference asvgp/gpr.py:49-89 term by term, with the trace
+    computed as a banded Frobenius product (see banded.band_frobenius).
+    """
+    l_kuu = banded.cholesky_band(kuu_band)
+    log_det_kuu = banded.log_det_from_cholesky(l_kuu)
+
+    kuu_inv_band = banded.takahashi_inverse_band(l_kuu)
+    trace_term = banded.band_frobenius(kuu_inv_band, stats.kufkfu_band)
+
+    p_band = stats.kufkfu_band / sigma2 + kuu_band
+    l_p = banded.cholesky_band(p_band)
+    log_det_p = banded.log_det_from_cholesky(l_p)
+    c = banded.solve_lower_band(l_p, stats.kuf_y) / sigma2
+
+    elbo = -0.5 * stats.n * (_LOG2PI + jnp.log(sigma2))
+    elbo -= 0.5 * log_det_p
+    elbo += 0.5 * log_det_kuu
+    elbo -= 0.5 * stats.yty / sigma2
+    elbo += 0.5 * jnp.sum(jnp.square(c))
+    elbo -= 0.5 * kdiag_sum / sigma2
+    elbo += 0.5 * trace_term / sigma2
+    return elbo
+
+
+def window_quadratic_form(band, vals, start):
+    """q_i = kus_iᵀ M kus_i where M is symmetric with lower band ``band`` and
+    kus_i is supported on rows start_i .. start_i + k.
+
+    q_i = Σ_s v_s² M[0, start+s] + 2 Σ_{j>=1} Σ_s v_s v_{s+j} M[j, start+s].
+    """
+    kp1 = vals.shape[1]
+    s_idx = start[:, None] + jnp.arange(kp1, dtype=start.dtype)[None, :]
+    q = jnp.sum(jnp.square(vals) * band[0][s_idx], axis=1)
+    for j in range(1, kp1):
+        w = vals[:, : kp1 - j] * vals[:, j:]
+        q = q + 2.0 * jnp.sum(w * band[j][s_idx[:, : kp1 - j]], axis=1)
+    return q
+
+
+def window_dot(vec, vals, start):
+    """d_i = kus_iᵀ vec (windowed sparse dot)."""
+    kp1 = vals.shape[1]
+    idx = start[:, None] + jnp.arange(kp1, dtype=start.dtype)[None, :]
+    return jnp.sum(vals * vec[idx], axis=1)
+
+
+class GPR1D:
+    """1-D ASVGP regression with B-spline inducing features.
+
+    Functional-JAX surface: hyperparameters live in a separate ``params``
+    pytree (unconstrained); all methods taking ``params`` are pure and
+    jittable.  Construction performs the one-time O(N k²) sufficient-
+    statistic precompute on device (optionally sharded over a mesh).
+    """
+
+    def __init__(self, data, kernel: Matern, basis: BSplineBasis, *,
+                 noise_variance=1.0, mesh=None, axis="data"):
+        X, y = data
+        X = jnp.asarray(X)
+        y = jnp.asarray(y)
+        if X.ndim == 2:
+            if X.shape[1] != 1:
+                raise ValueError("GPR1D requires 1-D inputs of shape (n,) or (n, 1)")
+            X = X[:, 0]
+        yf = jnp.reshape(y, (-1,))
+        if X.shape[0] != yf.shape[0]:
+            raise ValueError("X and y must have the same number of points")
+        # domain check (reference asserts a < X < b, gpr.py:25-26)
+        xmin, xmax = float(jnp.min(X)), float(jnp.max(X))
+        if not (xmin > basis.a and xmax < basis.b):
+            raise ValueError(
+                f"all inputs must lie strictly inside [{basis.a}, {basis.b}], "
+                f"got range [{xmin}, {xmax}]"
+            )
+        self.basis = basis
+        self.nu2 = kernel.nu2
+        self.kernel_init = kernel
+        self.noise_variance_init = noise_variance
+        if mesh is not None:
+            self.stats = compute_stats_sharded(basis, X, yf, mesh, axis)
+        else:
+            self.stats = jax.jit(lambda x, yy: compute_stats(basis, x, yy))(X, yf)
+
+    # ---- parameters -------------------------------------------------------
+    def init_params(self):
+        return default_params(self.kernel_init, self.noise_variance_init)
+
+    def _build(self, params):
+        return params_to_kernel(params, self.nu2), params_to_likelihood(params)
+
+    # ---- training objective ------------------------------------------------
+    def elbo(self, params):
+        kernel, lik = self._build(params)
+        kuu = make_kuu(kernel, self.basis)
+        kdiag_sum = self.stats.n * kernel.variance  # Σ K_diag for Matérn
+        return collapsed_elbo_banded(self.stats, kuu, lik.variance, kdiag_sum)
+
+    def maximum_log_likelihood_objective(self, params):
+        return self.elbo(params)
+
+    def training_loss(self, params):
+        return -self.elbo(params)
+
+    # ---- prediction ---------------------------------------------------------
+    def _posterior_bands(self, params):
+        kernel, lik = self._build(params)
+        sigma2 = lik.variance
+        kuu = make_kuu(kernel, self.basis)
+        l_kuu = banded.cholesky_band(kuu)
+        p_band = self.stats.kufkfu_band / sigma2 + kuu
+        l_p = banded.cholesky_band(p_band)
+        w = banded.cholesky_solve_band(l_p, self.stats.kuf_y) / sigma2
+        p_inv_band = banded.takahashi_inverse_band(l_p)
+        kuu_inv_band = banded.takahashi_inverse_band(l_kuu)
+        return kernel, w, p_inv_band - kuu_inv_band, p_inv_band, kuu_inv_band
+
+    def predict_f(self, params, Xnew, full_cov: bool = False):
+        """Posterior mean and marginal variance at Xnew.
+
+        ``full_cov`` is not implemented, matching the reference
+        (asvgp/gpr.py:112-113 raises NotImplementedError).
+        """
+        if full_cov:
+            raise NotImplementedError("full_cov prediction is not implemented")
+        kernel, w, diff_band, _, _ = self._posterior_bands(params)
+        x = jnp.reshape(Xnew, (-1,))
+        vals, start = make_kuf(self.basis, x)
+        mean = window_dot(w, vals, start)
+        var = kernel.variance + window_quadratic_form(diff_band, vals, start)
+        return mean[:, None], var[:, None]
+
+    def predict_y(self, params, Xnew):
+        _, lik = self._build(params)
+        mean, var = self.predict_f(params, Xnew)
+        return lik.predict_mean_and_var(mean, var)
+
+    def predict_log_density(self, params, data):
+        Xnew, ynew = data
+        _, lik = self._build(params)
+        mean, var = self.predict_f(params, Xnew)
+        return lik.predict_log_density(
+            mean, var, jnp.reshape(jnp.asarray(ynew), mean.shape)
+        )

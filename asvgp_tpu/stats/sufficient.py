@@ -1,0 +1,137 @@
+"""Sufficient statistics: Kuf·y, banded Kuf·Kufᵀ, yᵀy — on device.
+
+TPU-native replacement of the reference's scipy spMV/spSYRK precompute
+(reference asvgp/gpr.py:39-44, SURVEY.md §2.2 N3).  Kuf is never
+materialized: each data point contributes its (order+1) contiguous basis
+weights, so
+
+  * ``Kuf @ y``       is a windowed scatter-add into (m,)
+  * ``Kuf @ Kuf^T``   is banded with bandwidth = order; diagonal j collects
+                      Σ_i w_{s} w_{s+j} at position start_i + s
+
+Both are sums over data points => data-parallel: shard X, y over the device
+mesh, compute partial statistics per device, ``psum`` over ICI
+(SURVEY.md §2.4).  The sharded entry point is :func:`compute_stats_sharded`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class SufficientStats:
+    """The collapsed-ELBO sufficient statistics (reference gpr.py:39-44)."""
+
+    kuf_y: jnp.ndarray        # (m,)
+    kufkfu_band: jnp.ndarray  # (order+1, m), lower band of Kuf Kuf^T
+    yty: jnp.ndarray          # scalar
+    n: jnp.ndarray            # scalar (float) number of points
+
+
+def kuf_matvec(vals, start, y, m: int) -> jnp.ndarray:
+    """Kuf @ y from the structured-sparse Kuf: scatter-add of w_i * y_i."""
+    kp1 = vals.shape[1]
+    idx = start[:, None] + jnp.arange(kp1, dtype=start.dtype)[None, :]
+    out = jnp.zeros((m,), dtype=vals.dtype)
+    return out.at[idx].add(vals * y[:, None])
+
+
+def kufkfu_band(vals, start, m: int) -> jnp.ndarray:
+    """Lower band (order+1, m) of Kuf @ Kuf^T via windowed scatter-adds."""
+    kp1 = vals.shape[1]
+    rows = []
+    for j in range(kp1):
+        w = vals[:, : kp1 - j] * vals[:, j:]
+        idx = start[:, None] + jnp.arange(kp1 - j, dtype=start.dtype)[None, :]
+        rows.append(jnp.zeros((m,), dtype=vals.dtype).at[idx].add(w))
+    return jnp.stack(rows, axis=0)
+
+
+def _stats_local(basis, X, y, w=None) -> SufficientStats:
+    """Per-shard statistics.  ``w`` optionally masks padded points (0/1)."""
+    yf = jnp.reshape(y, (-1,))
+    vals, start = basis.evaluate_basis(X, dx=0)
+    if w is not None:
+        vals = vals * w[:, None]
+        yty = jnp.sum(w * jnp.square(yf))
+        n = jnp.sum(w)
+    else:
+        yty = jnp.sum(jnp.square(yf))
+        n = jnp.asarray(yf.shape[0], yf.dtype)
+    # vals carry the mask, so kuf_y and the band are already w-weighted
+    return SufficientStats(
+        kuf_y=kuf_matvec(vals, start, yf, basis.m),
+        kufkfu_band=kufkfu_band(vals, start, basis.m),
+        yty=yty,
+        n=n,
+    )
+
+
+def compute_stats(basis, X, y) -> SufficientStats:
+    """Single-device sufficient statistics (jittable)."""
+    return _stats_local(basis, X, y)
+
+
+def compute_stats_sharded(basis, X, y, mesh, axis: str = "data") -> SufficientStats:
+    """Data-parallel sufficient statistics over a device mesh.
+
+    Shards (X, y) along ``axis`` of ``mesh``, computes per-device partial
+    statistics, and ``psum``s them over ICI — the DP backbone of the rebuild
+    (SURVEY.md §2.4).  N must be divisible by the axis size (pad upstream
+    with :func:`pad_for_sharding` if not).
+    """
+
+    def shard_fn(xs, ys):
+        s = _stats_local(basis, xs, ys)
+        return jax.tree.map(partial(jax.lax.psum, axis_name=axis), s)
+
+    fn = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis)),
+        out_specs=P(),
+    )
+    with jax.set_mesh(mesh):
+        return fn(jnp.reshape(X, (-1,)), jnp.reshape(y, (-1,)))
+
+
+def pad_for_sharding(X, y, num_shards: int):
+    """Pad (X, y) to a multiple of num_shards; returns (X, y, weights).
+
+    Padded points replicate X[0] with weight 0 so they stay inside the basis
+    domain but contribute nothing (used with the masked stats path).
+    """
+    x = jnp.reshape(X, (-1,))
+    yf = jnp.reshape(y, (-1,))
+    n = x.shape[0]
+    rem = (-n) % num_shards
+    if rem == 0:
+        return x, yf, jnp.ones((n,), x.dtype)
+    xpad = jnp.concatenate([x, jnp.full((rem,), x[0], x.dtype)])
+    ypad = jnp.concatenate([yf, jnp.zeros((rem,), yf.dtype)])
+    w = jnp.concatenate([jnp.ones((n,), x.dtype), jnp.zeros((rem,), x.dtype)])
+    return xpad, ypad, w
+
+
+def compute_stats_sharded_masked(basis, X, y, w, mesh, axis: str = "data") -> SufficientStats:
+    """Sharded stats with a 0/1 weight mask (for padded N)."""
+
+    def shard_fn(xs, ys, ws):
+        s = _stats_local(basis, xs, ys, ws)
+        return jax.tree.map(partial(jax.lax.psum, axis_name=axis), s)
+
+    fn = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis)),
+        out_specs=P(),
+    )
+    with jax.set_mesh(mesh):
+        return fn(jnp.reshape(X, (-1,)), jnp.reshape(y, (-1,)), jnp.reshape(w, (-1,)))

@@ -1,0 +1,54 @@
+"""Full-batch L-BFGS training (pure JAX, fully jitted).
+
+Equivalent of ``gpflow.optimizers.Scipy`` (SciPy L-BFGS-B driving TF
+autodiff) used by every reference experiment (e.g.
+experiments/snelson/example.py:31-32).  Here the entire optimization loop —
+line search included — runs on device via optax.lbfgs inside one
+``lax.while_loop``, so hyperparameter training is a single XLA program with
+no host round-trips per iteration.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import optax
+import optax.tree_utils as otu
+
+
+def fit_lbfgs(loss_fn, params, *, max_iters: int = 500, tol: float = 1e-8,
+              memory_size: int = 20):
+    """Minimize ``loss_fn`` over the ``params`` pytree with L-BFGS + zoom
+    line search.  Returns (params, final_loss, num_iters)."""
+    opt = optax.lbfgs(
+        memory_size=memory_size,
+        linesearch=optax.scale_by_zoom_linesearch(max_linesearch_steps=30),
+    )
+    value_and_grad = optax.value_and_grad_from_state(loss_fn)
+
+    def step(carry):
+        params, state = carry
+        value, grad = value_and_grad(params, state=state)
+        updates, state = opt.update(
+            grad, state, params, value=value, grad=grad, value_fn=loss_fn
+        )
+        params = optax.apply_updates(params, updates)
+        return params, state
+
+    def continuing(carry):
+        _, state = carry
+        count = otu.tree_get(state, "count")
+        grad = otu.tree_get(state, "grad")
+        err = otu.tree_norm(grad)
+        return (count == 0) | ((count < max_iters) & (err >= tol))
+
+    @jax.jit
+    def run(params):
+        state = opt.init(params)
+        params, state = jax.lax.while_loop(continuing, step, (params, state))
+        return params, otu.tree_get(state, "count")
+
+    params, iters = run(params)
+    return params, loss_fn(params), iters

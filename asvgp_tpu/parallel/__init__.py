@@ -1,0 +1,5 @@
+"""Device-mesh parallelism: data-parallel training over ICI."""
+
+from asvgp_tpu.parallel.dp import make_dp_train_step, shard_data
+
+__all__ = ["make_dp_train_step", "shard_data"]

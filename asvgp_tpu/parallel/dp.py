@@ -1,0 +1,90 @@
+"""Data-parallel training step over a jax.sharding.Mesh.
+
+The parallelism story of the rebuild (SURVEY.md §2.4): ASVGP's sufficient
+statistics (Kuf·y, banded Kuf·Kufᵀ, yᵀy) are sums over data points, so the
+natural first-class strategy is DP — shard (X, y) along the mesh's data
+axis, assemble partial statistics per device, ``psum`` them over ICI, and
+run the tiny O(m k²) banded ELBO replicated.  TP/PP/EP are N/A for this
+model family (no layer stack, no experts); large-m tensor parallelism is
+documented as optional future work.
+
+The reference is single-process CPU and has no distributed path at all;
+this module is a new capability (BASELINE.md north-star: minibatch ELBO +
+data-parallel ICI reduction).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from asvgp_tpu.features.spline_features import make_kuu
+from asvgp_tpu.models.gpr1d import (
+    collapsed_elbo_banded,
+    params_to_kernel,
+    params_to_likelihood,
+)
+from asvgp_tpu.stats.sufficient import SufficientStats, _stats_local
+
+
+def shard_data(X, y, mesh, axis: str = "data"):
+    """Place (X, y) sharded along ``axis``; N must divide the axis size."""
+    sharding = NamedSharding(mesh, P(axis))
+    x = jnp.reshape(X, (-1,))
+    yf = jnp.reshape(y, (-1,))
+    return jax.device_put(x, sharding), jax.device_put(yf, sharding)
+
+
+def make_dp_train_step(basis, nu2: int, mesh, *, axis: str = "data",
+                       optimizer=None, num_data_total=None):
+    """Build a jitted data-parallel training step.
+
+    Returns ``(step, opt)`` where
+    ``step(params, opt_state, X_sharded, y_sharded) -> (params, opt_state,
+    loss)`` assembles sharded sufficient statistics (psum over ICI), then
+    takes one optimizer step on the negative collapsed ELBO.  When
+    ``num_data_total`` is given, batch statistics are rescaled by
+    N_total / N_batch — the stochastic (minibatch) collapsed bound.
+    """
+    opt = optimizer if optimizer is not None else optax.adam(1e-2)
+
+    def loss_fn(params, stats: SufficientStats):
+        kernel = params_to_kernel(params, nu2)
+        lik = params_to_likelihood(params)
+        kuu = make_kuu(kernel, basis)
+        kdiag_sum = stats.n * kernel.variance
+        return -collapsed_elbo_banded(stats, kuu, lik.variance, kdiag_sum)
+
+    def stats_shardmap(xs, ys):
+        s = _stats_local(basis, xs, ys)
+        return jax.tree.map(partial(jax.lax.psum, axis_name=axis), s)
+
+    stats_fn = jax.shard_map(
+        stats_shardmap, mesh=mesh, in_specs=(P(axis), P(axis)), out_specs=P()
+    )
+
+    @jax.jit
+    def step(params, opt_state, x, y):
+        stats = stats_fn(x, y)
+        if num_data_total is not None:
+            scale = jnp.asarray(num_data_total, x.dtype) / stats.n
+            stats = SufficientStats(
+                kuf_y=stats.kuf_y * scale,
+                kufkfu_band=stats.kufkfu_band * scale,
+                yty=stats.yty * scale,
+                n=stats.n * scale,
+            )
+        loss, grads = jax.value_and_grad(loss_fn)(params, stats)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    def step_in_mesh(params, opt_state, x, y):
+        with jax.set_mesh(mesh):
+            return step(params, opt_state, x, y)
+
+    return step_in_mesh, opt

@@ -54,6 +54,49 @@ def kufkfu_band(vals, start, m: int) -> jnp.ndarray:
     return jnp.stack(rows, axis=0)
 
 
+def _cell_sums(values, bounds, n_cells: int):
+    """Per-cell sums of ``values`` (n,) sorted by cell, from cumsum +
+    boundary gathers — no scatter (TPU scatters serialize on duplicate
+    indices; this is the fast path for large N)."""
+    c = jnp.concatenate([jnp.zeros((1,), values.dtype), jnp.cumsum(values)])
+    return c[bounds[1:]] - c[bounds[:-1]]
+
+
+def _stats_sorted(basis, vals, start, yf) -> tuple:
+    """Scatter-free Kuf·y and banded Kuf·Kufᵀ.
+
+    Sorts points by mesh cell once, then every band diagonal is a handful of
+    length-N cumsums + (n_cells,) boundary gathers (SURVEY.md §7.3 item 4:
+    'bucket points by mesh cell, segment-sum the (k+1)x(k+1) outer products
+    per cell, fold cells into band diagonals').
+    """
+    kp1 = vals.shape[1]
+    m = basis.m
+    n_cells = basis.n_cells
+    order = jnp.argsort(start)
+    vals_s = vals[order]
+    y_s = yf[order]
+    start_s = start[order]
+    bounds = jnp.searchsorted(start_s, jnp.arange(n_cells + 1, dtype=start.dtype))
+
+    def fold(per_cell_list):
+        """rows[s] holds per-cell sums destined for position cell + s."""
+        out = jnp.zeros((m,), vals.dtype)
+        for s, pc in enumerate(per_cell_list):
+            out = out.at[s:s + n_cells].add(pc)
+        return out
+
+    kuf_y = fold([_cell_sums(vals_s[:, s] * y_s, bounds, n_cells) for s in range(kp1)])
+    band_rows = []
+    for j in range(kp1):
+        per_cell = [
+            _cell_sums(vals_s[:, s] * vals_s[:, s + j], bounds, n_cells)
+            for s in range(kp1 - j)
+        ]
+        band_rows.append(fold(per_cell))
+    return kuf_y, jnp.stack(band_rows, axis=0)
+
+
 def _stats_local(basis, X, y, w=None) -> SufficientStats:
     """Per-shard statistics.  ``w`` optionally masks padded points (0/1)."""
     yf = jnp.reshape(y, (-1,))
@@ -66,12 +109,8 @@ def _stats_local(basis, X, y, w=None) -> SufficientStats:
         yty = jnp.sum(jnp.square(yf))
         n = jnp.asarray(yf.shape[0], yf.dtype)
     # vals carry the mask, so kuf_y and the band are already w-weighted
-    return SufficientStats(
-        kuf_y=kuf_matvec(vals, start, yf, basis.m),
-        kufkfu_band=kufkfu_band(vals, start, basis.m),
-        yty=yty,
-        n=n,
-    )
+    kuf_y, band = _stats_sorted(basis, vals, start, yf)
+    return SufficientStats(kuf_y=kuf_y, kufkfu_band=band, yty=yty, n=n)
 
 
 def compute_stats(basis, X, y) -> SufficientStats:

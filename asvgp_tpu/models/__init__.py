@@ -1,8 +1,10 @@
-"""Model classes: GPR1D (flagship), additive / Kronecker variants, oracles."""
+"""Model classes: GPR1D (flagship), GPRKron, GPRAdditive, oracles."""
 
 from asvgp_tpu.models.kernels import Matern, Matern12, Matern32, Matern52
 from asvgp_tpu.models.likelihoods import Gaussian
 from asvgp_tpu.models.gpr1d import GPR1D
+from asvgp_tpu.models.kron import GPRKron
+from asvgp_tpu.models.additive import GPRAdditive
 from asvgp_tpu.models.exact_gp import ExactGPR
 
 __all__ = [
@@ -12,5 +14,7 @@ __all__ = [
     "Matern52",
     "Gaussian",
     "GPR1D",
+    "GPRKron",
+    "GPRAdditive",
     "ExactGPR",
 ]

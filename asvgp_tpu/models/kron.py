@@ -1,0 +1,229 @@
+"""GPRKron — tensor-product (Kronecker) spline features for D=2 inputs.
+
+TPU-native equivalent of the reference ``GPR_kron`` (asvgp/gpr.py:239-359),
+with the structure the reference leaves on the table (SURVEY.md §3.4): the
+reference densifies Kuu and P to m^d x m^d (utils.py:45-51, gpr.py:272,
+292-293) — an O(m^6) dense Cholesky for d=2.  Here everything stays
+factorized/banded:
+
+  log|Kuu|   — per-factor banded Cholesky + Kronecker determinant identity
+  trace term — per-factor Takahashi bands against the Kronecker multiband
+               of KufKfu (stats/kron.py), fully elementwise
+  P          — block-banded (block = i1, bandwidth k1): blocked Cholesky,
+               O(m1 k1² m2³) instead of O((m1 m2)³)
+  predict    — block-Takahashi band of P⁻¹ + per-point windowed gathers,
+               O((k+1)⁴) per test point; replaces both reference predict
+               paths (dense gpr.py:310-334 and CHOLMOD gpr.py:336-359)
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+from asvgp_tpu import banded
+from asvgp_tpu.banded import block
+from asvgp_tpu.features.spline_features import make_kuu
+from asvgp_tpu.models.kernels import Matern
+from asvgp_tpu.models.likelihoods import Gaussian
+from asvgp_tpu.models.parameters import positive, positive_inverse
+from asvgp_tpu.stats.kron import (
+    KronStats,
+    compute_kron_stats,
+    compute_kron_stats_sharded,
+    t_band_to_blocks,
+    t_band_trace_against_kron,
+)
+
+_LOG2PI = math.log(2.0 * math.pi)
+
+
+def kron_params_to_kernels(params, nu2s):
+    return [
+        Matern(
+            variance=positive(p["raw_variance"]),
+            lengthscales=positive(p["raw_lengthscales"]),
+            nu2=nu2,
+        )
+        for p, nu2 in zip(params["kernels"], nu2s)
+    ]
+
+
+class GPRKron:
+    """2-D ASVGP regression with tensor-product B-spline inducing features."""
+
+    def __init__(self, data, kernels, bases, *, noise_variance=1.0,
+                 mesh=None, axis="data"):
+        X, y = data
+        X = jnp.asarray(X)
+        y = jnp.asarray(y)
+        if X.ndim != 2 or X.shape[1] != 2:
+            raise ValueError("GPRKron currently supports D=2 inputs of shape (n, 2)")
+        if len(kernels) != 2 or len(bases) != 2:
+            raise ValueError("need one kernel and one basis per input dimension")
+        for d, basis in enumerate(bases):
+            lo = float(jnp.min(X[:, d]))
+            hi = float(jnp.max(X[:, d]))
+            if not (lo > basis.a and hi < basis.b):
+                raise ValueError(
+                    f"dim {d}: inputs must lie strictly inside "
+                    f"[{basis.a}, {basis.b}], got [{lo}, {hi}]"
+                )
+        self.bases = list(bases)
+        self.nu2s = [k.nu2 for k in kernels]
+        self.kernels_init = list(kernels)
+        self.noise_variance_init = noise_variance
+        yf = jnp.reshape(y, (-1,))
+        if mesh is not None:
+            self.stats = compute_kron_stats_sharded(self.bases, X, yf, mesh, axis)
+        else:
+            self.stats = jax.jit(
+                lambda xx, yy: compute_kron_stats(self.bases, xx, yy)
+            )(X, yf)
+
+    # ---- parity helpers ----------------------------------------------------
+    @property
+    def bandwidth(self) -> int:
+        """Joint scalar bandwidth of P (reference computes this at
+        asvgp/gpr.py:262); informational — we use the block-banded form."""
+        m2 = self.bases[1].m
+        return self.bases[0].order * m2 + self.bases[1].order
+
+    def init_params(self):
+        return {
+            "kernels": [
+                {
+                    "raw_variance": positive_inverse(k.variance),
+                    "raw_lengthscales": positive_inverse(k.lengthscales),
+                }
+                for k in self.kernels_init
+            ],
+            "likelihood": {"raw_variance": positive_inverse(self.noise_variance_init)},
+        }
+
+    def _build(self, params):
+        kernels = kron_params_to_kernels(params, self.nu2s)
+        lik = Gaussian(variance=positive(params["likelihood"]["raw_variance"]))
+        return kernels, lik
+
+    # ---- ELBO ---------------------------------------------------------------
+    def _factor_bands(self, kernels):
+        return [make_kuu(k, b) for k, b in zip(kernels, self.bases)]
+
+    def _p_blocks(self, kuu_bands, sigma2):
+        kuu2_dense = banded.band_to_dense(
+            banded.symmetrise_lower_band(kuu_bands[1]),
+            self.bases[1].order,
+            self.bases[1].order,
+        )
+        return t_band_to_blocks(self.stats.t_band, kuu_bands[0], kuu2_dense, sigma2)
+
+    def elbo(self, params):
+        kernels, lik = self._build(params)
+        sigma2 = lik.variance
+        m1, m2 = self.bases[0].m, self.bases[1].m
+
+        kuu_bands = self._factor_bands(kernels)
+        l_bands = [banded.cholesky_band(kb) for kb in kuu_bands]
+        # Kronecker determinant identity: log|A⊗B| = m_B log|A| + m_A log|B|
+        log_det_kuu = m2 * banded.log_det_from_cholesky(l_bands[0]) + m1 * (
+            banded.log_det_from_cholesky(l_bands[1])
+        )
+        s_bands = [banded.takahashi_inverse_band(lb) for lb in l_bands]
+        trace_term = t_band_trace_against_kron(self.stats.t_band, s_bands[0], s_bands[1])
+
+        p_blocks = self._p_blocks(kuu_bands, sigma2)
+        l_p = block.cholesky_block_banded(p_blocks)
+        log_det_p = block.log_det_from_block_cholesky(l_p)
+        c = block.solve_lower_block_banded(l_p, self.stats.kuf_y) / sigma2
+
+        kdiag_sum = self.stats.n * kernels[0].variance * kernels[1].variance
+
+        elbo = -0.5 * self.stats.n * (_LOG2PI + jnp.log(sigma2))
+        elbo -= 0.5 * log_det_p
+        elbo += 0.5 * log_det_kuu
+        elbo -= 0.5 * self.stats.yty / sigma2
+        elbo += 0.5 * jnp.sum(jnp.square(c))
+        elbo -= 0.5 * kdiag_sum / sigma2
+        elbo += 0.5 * trace_term / sigma2
+        return elbo
+
+    def maximum_log_likelihood_objective(self, params):
+        return self.elbo(params)
+
+    def training_loss(self, params):
+        return -self.elbo(params)
+
+    # ---- prediction -----------------------------------------------------------
+    def predict_f(self, params, Xnew, full_cov: bool = False):
+        if full_cov:
+            raise NotImplementedError("full_cov prediction is not implemented")
+        kernels, lik = self._build(params)
+        sigma2 = lik.variance
+        b1, b2 = self.bases
+        k1, k2 = b1.order, b2.order
+        m1, m2 = b1.m, b2.m
+
+        kuu_bands = self._factor_bands(kernels)
+        l_bands = [banded.cholesky_band(kb) for kb in kuu_bands]
+        s_bands = [banded.takahashi_inverse_band(lb) for lb in l_bands]
+
+        p_blocks = self._p_blocks(kuu_bands, sigma2)
+        l_p = block.cholesky_block_banded(p_blocks)
+        w = block.cholesky_solve_block_banded(l_p, self.stats.kuf_y) / sigma2
+        w_grid = w.reshape(m1, m2)
+        sp = block.takahashi_inverse_block_banded(l_p)  # (k1+1, m1, m2, m2)
+
+        x = jnp.asarray(Xnew)
+        v1, c1 = b1.evaluate_basis(x[:, 0], dx=0)
+        v2, c2 = b2.evaluate_basis(x[:, 1], dx=0)
+        n = v1.shape[0]
+        r1 = c1[:, None] + jnp.arange(k1 + 1, dtype=c1.dtype)[None, :]  # (n, k1+1)
+        r2 = c2[:, None] + jnp.arange(k2 + 1, dtype=c2.dtype)[None, :]  # (n, k2+1)
+
+        # mean = Σ v1[s1] v2[s2] w[c1+s1, c2+s2]
+        w_win = w_grid[r1[:, :, None], r2[:, None, :]]  # (n, k1+1, k2+1)
+        mean = jnp.einsum("na,nab,nb->n", v1, w_win, v2)
+
+        # kusᵀ P⁻¹ kus via block-Takahashi windows
+        quad_p = jnp.zeros((n,), v1.dtype)
+        for d in range(k1 + 1):
+            mult = 1.0 if d == 0 else 2.0
+            sp_d = sp[d]  # (m1, m2, m2)
+            for s1 in range(k1 + 1 - d):
+                j1 = c1 + s1
+                win = sp_d[
+                    j1[:, None, None],
+                    r2[:, :, None],
+                    r2[:, None, :],
+                ]  # (n, k2+1, k2+1) — block (c1+s1+d, c1+s1) window
+                val = jnp.einsum("na,nab,nb->n", v2, win, v2)
+                quad_p = quad_p + mult * v1[:, s1 + d] * v1[:, s1] * val
+
+        # kusᵀ Kuu⁻¹ kus = Π_d (per-dim window quadratic forms)
+        from asvgp_tpu.models.gpr1d import window_quadratic_form
+
+        q1 = window_quadratic_form(s_bands[0], v1, c1)
+        q2 = window_quadratic_form(s_bands[1], v2, c2)
+
+        kdiag = kernels[0].variance * kernels[1].variance
+        var = kdiag + quad_p - q1 * q2
+        return mean[:, None], var[:, None]
+
+    # unified efficient path replaces the reference's separate sparse predictor
+    predict_f_sparse = predict_f
+
+    def predict_y(self, params, Xnew):
+        _, lik = self._build(params)
+        mean, var = self.predict_f(params, Xnew)
+        return lik.predict_mean_and_var(mean, var)
+
+    def predict_log_density(self, params, data):
+        Xnew, ynew = data
+        _, lik = self._build(params)
+        mean, var = self.predict_f(params, Xnew)
+        return lik.predict_log_density(
+            mean, var, jnp.reshape(jnp.asarray(ynew), mean.shape)
+        )

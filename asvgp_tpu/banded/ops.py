@@ -29,6 +29,27 @@ from jax import lax
 
 from asvgp_tpu.banded.layout import mask_band, shift_cols
 
+# implementation selection: "auto" uses the Pallas kernels for float32 on
+# accelerators (per-op dispatch overhead makes the XLA scans ~100x slower
+# there) and the float64-capable scans everywhere else.
+_IMPL = "auto"
+
+
+def set_impl(impl: str) -> None:
+    """Select the banded-op backend: "auto", "scan" or "pallas"."""
+    global _IMPL
+    if impl not in ("auto", "scan", "pallas"):
+        raise ValueError(f"unknown banded impl {impl!r}")
+    _IMPL = impl
+
+
+def _use_pallas(x) -> bool:
+    if _IMPL == "scan":
+        return False
+    if _IMPL == "pallas":
+        return True
+    return x.dtype == jnp.float32 and jax.default_backend() != "cpu"
+
 
 def _col_mask(i, k: int, m: int, dtype):
     """Mask (k+1,) of valid band rows for column i: row j valid iff i + j < m."""
@@ -46,6 +67,11 @@ def cholesky_band(a_band: jnp.ndarray) -> jnp.ndarray:
     k = a_band.shape[0] - 1
     m = a_band.shape[1]
     dtype = a_band.dtype
+
+    if _use_pallas(a_band):
+        from asvgp_tpu.banded import pallas_kernels as pk
+
+        return pk.cholesky_band_p(a_band)
 
     if k == 0:
         return jnp.sqrt(a_band)
@@ -90,6 +116,12 @@ def solve_lower_band(l_band: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     m = l_band.shape[1]
     dtype = l_band.dtype
     vec = b.ndim == 1
+
+    if vec and _use_pallas(l_band):
+        from asvgp_tpu.banded import pallas_kernels as pk
+
+        return pk.solve_lower_band_p(l_band, b)
+
     b2 = b[:, None] if vec else b
     r = b2.shape[1]
 
@@ -118,6 +150,12 @@ def solve_upper_band_transpose(l_band: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarr
     k = l_band.shape[0] - 1
     dtype = l_band.dtype
     vec = b.ndim == 1
+
+    if vec and _use_pallas(l_band):
+        from asvgp_tpu.banded import pallas_kernels as pk
+
+        return pk.solve_upper_band_transpose_p(l_band, b)
+
     b2 = b[:, None] if vec else b
     r = b2.shape[1]
 
@@ -160,6 +198,11 @@ def takahashi_inverse_band(l_band: jnp.ndarray) -> jnp.ndarray:
     k = l_band.shape[0] - 1
     m = l_band.shape[1]
     dtype = l_band.dtype
+
+    if _use_pallas(l_band):
+        from asvgp_tpu.banded import pallas_kernels as pk
+
+        return pk.takahashi_inverse_band_p(l_band)
 
     if k == 0:
         return 1.0 / (l_band * l_band)

@@ -55,9 +55,10 @@ def make_kuu(kernel, basis: BSplineBasis) -> jnp.ndarray:
         )
     var = kernel.variance
     ell = kernel.lengthscales
-    A = jnp.asarray(basis.A)
-    B = jnp.asarray(basis.B)
-    BC = jnp.asarray(basis.BC)
+    dtype = jnp.result_type(var, ell)
+    A = jnp.asarray(basis.A, dtype)
+    B = jnp.asarray(basis.B, dtype)
+    BC = jnp.asarray(basis.BC, dtype)
 
     if name == "matern12":
         return (
@@ -66,8 +67,8 @@ def make_kuu(kernel, basis: BSplineBasis) -> jnp.ndarray:
             + 1.0 / (2.0 * var) * BC
         )
 
-    C = jnp.asarray(basis.C)
-    BCg = jnp.asarray(basis.BC_grad)
+    C = jnp.asarray(basis.C, dtype)
+    BCg = jnp.asarray(basis.BC_grad, dtype)
 
     if name == "matern32":
         return (
@@ -78,9 +79,9 @@ def make_kuu(kernel, basis: BSplineBasis) -> jnp.ndarray:
             + ell**2 / (2.0 * var) * BCg
         )
 
-    D = jnp.asarray(basis.D)
-    BCgg = jnp.asarray(basis.BC_ggrad)
-    BC_cross = jnp.asarray(basis.BC_ggrad_none + basis.BC_none_ggrad)
+    D = jnp.asarray(basis.D, dtype)
+    BCgg = jnp.asarray(basis.BC_ggrad, dtype)
+    BC_cross = jnp.asarray(basis.BC_ggrad_none + basis.BC_none_ggrad, dtype)
 
     return (
         (3.0 * _SQRT5) / (16.0 * ell * var) * A

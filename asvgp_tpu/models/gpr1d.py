@@ -124,7 +124,7 @@ class GPR1D:
     """
 
     def __init__(self, data, kernel: Matern, basis: BSplineBasis, *,
-                 noise_variance=1.0, mesh=None, axis="data"):
+                 noise_variance=1.0, mesh=None, axis="data", dtype=None):
         X, y = data
         X = jnp.asarray(X)
         y = jnp.asarray(y)
@@ -150,10 +150,19 @@ class GPR1D:
             self.stats = compute_stats_sharded(basis, X, yf, mesh, axis)
         else:
             self.stats = jax.jit(lambda x, yy: compute_stats(basis, x, yy))(X, yf)
+        # optional compute dtype for the training/prediction hot path; stats
+        # are always *accumulated* at input precision, then cast once (the
+        # float32 path dispatches to the Pallas TPU kernels)
+        self.dtype = dtype
+        if dtype is not None:
+            self.stats = jax.tree.map(lambda a: a.astype(dtype), self.stats)
 
     # ---- parameters -------------------------------------------------------
     def init_params(self):
-        return default_params(self.kernel_init, self.noise_variance_init)
+        params = default_params(self.kernel_init, self.noise_variance_init)
+        if self.dtype is not None:
+            params = jax.tree.map(lambda a: a.astype(self.dtype), params)
+        return params
 
     def _build(self, params):
         return params_to_kernel(params, self.nu2), params_to_likelihood(params)

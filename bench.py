@@ -25,7 +25,7 @@ M = 10_000
 SEED = 0
 
 
-def build(device):
+def build(device, dtype=None):
     from asvgp_tpu.basis import B3Spline
     from asvgp_tpu.models import GPR1D, Matern32
 
@@ -35,7 +35,8 @@ def build(device):
     basis = B3Spline(0.0, 1.0, M)
     with jax.default_device(device):
         t0 = time.time()
-        model = GPR1D((jnp.asarray(x), jnp.asarray(y)), Matern32(), basis)
+        model = GPR1D((jnp.asarray(x), jnp.asarray(y)), Matern32(), basis,
+                      dtype=dtype)
         jax.block_until_ready(model.stats.kuf_y)
         t_pre = time.time() - t0
     return model, t_pre
@@ -60,27 +61,31 @@ def time_step(model, device, reps=10):
 
 def main():
     dev = jax.devices()[0]
-    model, t_pre = build(dev)
-    step_ms, t_compile, val = time_step(model, dev)
+    on_tpu = "cpu" not in str(dev).lower()
+    # headline: float32 Pallas-kernel path on the accelerator
+    model, t_pre = build(dev, dtype=jnp.float32 if on_tpu else None)
+    step_s, t_compile, val = time_step(model, dev)
 
+    # float64 CPU run = stand-in for the reference's C++ banded ops (the
+    # reference stack cannot run in this image); also the precision check
     cpu = jax.devices("cpu")[0]
     model_cpu, _ = build(cpu)
-    cpu_ms, _, cpu_val = time_step(model_cpu, cpu, reps=3)
+    cpu_s, _, cpu_val = time_step(model_cpu, cpu, reps=3)
 
     print(
         json.dumps(
             {
                 "metric": "elbo_grad_step_1m_points_10k_features",
-                "value": round(step_ms * 1000, 3),
+                "value": round(step_s * 1000, 3),
                 "unit": "ms",
-                "vs_baseline": round(cpu_ms / step_ms, 3),
+                "vs_baseline": round(cpu_s / step_s, 3),
                 "extras": {
                     "device": str(dev),
                     "precompute_s": round(t_pre, 3),
                     "compile_s": round(t_compile, 1),
                     "loss": val,
-                    "cpu_step_ms": round(cpu_ms * 1000, 3),
-                    "loss_match_cpu_rel": abs(val - cpu_val) / abs(cpu_val),
+                    "cpu_f64_step_ms": round(cpu_s * 1000, 3),
+                    "loss_rel_err_vs_f64": abs(val - cpu_val) / abs(cpu_val),
                 },
             }
         )

@@ -1,0 +1,108 @@
+"""Double-single (two-float32) arithmetic for Pallas TPU kernels.
+
+Pallas has no float64 on TPU, and this platform's float64 XLA emulation is
+unreliable inside the banded recursions (the Takahashi sweep degrades
+catastrophically under --xla_allow_excess_precision).  The banded Gram
+matrices are genuinely ill-conditioned at fine meshes (κ ~ (ℓ/δ)^{2ν+1},
+easily 1e12+ at m=10⁴), so plain float32 recursions diverge.  The fix is
+classical double-single arithmetic (Dekker/Knuth error-free
+transformations): every value is an unevaluated sum hi + lo of two float32,
+giving ~2⁻⁴⁸ relative precision — comfortably inside the 1e-6 parity target
+(BASELINE.md) — using only exact float32 add/mul hardware.
+
+All helpers are elementwise and shape-polymorphic; they are used inside the
+Pallas kernels (banded/pallas_kernels.py) and for the XLA-side f64 ↔ (hi,
+lo) conversions.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+# Veltkamp split constant for float32 (24-bit mantissa → 2^12 + 1)
+_SPLIT = 4097.0
+
+
+def split_f64(x):
+    """float64 array → (hi, lo) float32 pair with hi + lo == x (to f64 eps)."""
+    hi = x.astype(jnp.float32)
+    lo = (x - hi.astype(x.dtype)).astype(jnp.float32)
+    return hi, lo
+
+
+def merge_f64(h, l):
+    """(hi, lo) float32 pair → float64."""
+    return h.astype(jnp.float64) + l.astype(jnp.float64)
+
+
+def two_sum(a, b):
+    """Error-free a + b: returns (s, err) with s + err == a + b exactly."""
+    s = a + b
+    bb = s - a
+    err = (a - (s - bb)) + (b - bb)
+    return s, err
+
+
+def _veltkamp(a):
+    t = a * _SPLIT
+    hi = t - (t - a)
+    return hi, a - hi
+
+
+def two_prod(a, b):
+    """Error-free a * b: returns (p, err) with p + err == a * b exactly."""
+    p = a * b
+    ah, al = _veltkamp(a)
+    bh, bl = _veltkamp(b)
+    err = ((ah * bh - p) + ah * bl + al * bh) + al * bl
+    return p, err
+
+
+def add(xh, xl, yh, yl):
+    sh, sl = two_sum(xh, yh)
+    tl = xl + yl + sl
+    h = sh + tl
+    return h, tl - (h - sh)
+
+
+def sub(xh, xl, yh, yl):
+    return add(xh, xl, -yh, -yl)
+
+
+def mul(xh, xl, yh, yl):
+    ph, pl = two_prod(xh, yh)
+    pl = pl + (xh * yl + xl * yh)
+    h = ph + pl
+    return h, pl - (h - ph)
+
+
+def mul_f32(xh, xl, c):
+    """DS × plain float32."""
+    ph, pl = two_prod(xh, c)
+    pl = pl + xl * c
+    h = ph + pl
+    return h, pl - (h - ph)
+
+
+def div(xh, xl, yh, yl):
+    q1 = xh / yh
+    p1h, p1l = mul_f32(yh, yl, q1)
+    rh, rl = add(xh, xl, -p1h, -p1l)
+    q2 = (rh + rl) / yh
+    h = q1 + q2
+    return h, q2 - (h - q1)
+
+
+def sqrt(xh, xl):
+    q1 = jnp.sqrt(xh)
+    p1h, p1l = two_prod(q1, q1)
+    rh, rl = add(xh, xl, -p1h, -p1l)
+    q2 = (rh + rl) / (2.0 * q1)
+    h = q1 + q2
+    return h, q2 - (h - q1)
+
+
+def recip(yh, yl):
+    one = jnp.ones_like(yh)
+    zero = jnp.zeros_like(yh)
+    return div(one, zero, yh, yl)

@@ -38,9 +38,18 @@ _IMPL = "auto"
 def set_impl(impl: str) -> None:
     """Select the banded-op backend: "auto", "scan" or "pallas"."""
     global _IMPL
-    if impl not in ("auto", "scan", "pallas"):
+    if impl not in ("auto", "scan", "pallas", "pallas_ds"):
         raise ValueError(f"unknown banded impl {impl!r}")
     _IMPL = impl
+
+
+def _target_platform() -> str:
+    """Best-effort trace-time target platform: honors an enclosing
+    ``jax.default_device(...)`` context, else the default backend."""
+    dev = jax.config.jax_default_device
+    if dev is not None:
+        return dev.platform
+    return jax.default_backend()
 
 
 def _use_pallas(x) -> bool:
@@ -48,7 +57,26 @@ def _use_pallas(x) -> bool:
         return False
     if _IMPL == "pallas":
         return True
-    return x.dtype == jnp.float32 and jax.default_backend() != "cpu"
+    return x.dtype == jnp.float32 and _target_platform() != "cpu"
+
+
+def _use_pallas_ds(x) -> bool:
+    """float64 on an accelerator → double-single Pallas kernels.
+
+    This platform's float64 XLA emulation silently degrades inside the
+    banded recursions (catastrophically for Takahashi), and the scans are
+    dispatch-bound anyway; the DS kernels are both correct (~2⁻⁴⁸) and
+    ~30x faster.
+    """
+    if _IMPL == "scan":
+        return False
+    if _IMPL == "pallas_ds":
+        return True
+    return (
+        _IMPL == "auto"
+        and x.dtype == jnp.float64
+        and _target_platform() != "cpu"
+    )
 
 
 def _col_mask(i, k: int, m: int, dtype):
@@ -72,6 +100,11 @@ def cholesky_band(a_band: jnp.ndarray) -> jnp.ndarray:
         from asvgp_tpu.banded import pallas_kernels as pk
 
         return pk.cholesky_band_p(a_band)
+
+    if _use_pallas_ds(a_band):
+        from asvgp_tpu.banded import pallas_ds as pd
+
+        return pd.cholesky_band_ds(a_band)
 
     if k == 0:
         return jnp.sqrt(a_band)
@@ -122,6 +155,11 @@ def solve_lower_band(l_band: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 
         return pk.solve_lower_band_p(l_band, b)
 
+    if vec and _use_pallas_ds(l_band):
+        from asvgp_tpu.banded import pallas_ds as pd
+
+        return pd.solve_lower_band_ds(l_band, b)
+
     b2 = b[:, None] if vec else b
     r = b2.shape[1]
 
@@ -155,6 +193,11 @@ def solve_upper_band_transpose(l_band: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarr
         from asvgp_tpu.banded import pallas_kernels as pk
 
         return pk.solve_upper_band_transpose_p(l_band, b)
+
+    if vec and _use_pallas_ds(l_band):
+        from asvgp_tpu.banded import pallas_ds as pd
+
+        return pd.solve_upper_band_transpose_ds(l_band, b)
 
     b2 = b[:, None] if vec else b
     r = b2.shape[1]
@@ -203,6 +246,11 @@ def takahashi_inverse_band(l_band: jnp.ndarray) -> jnp.ndarray:
         from asvgp_tpu.banded import pallas_kernels as pk
 
         return pk.takahashi_inverse_band_p(l_band)
+
+    if _use_pallas_ds(l_band):
+        from asvgp_tpu.banded import pallas_ds as pd
+
+        return pd.takahashi_inverse_band_ds(l_band)
 
     if k == 0:
         return 1.0 / (l_band * l_band)

@@ -65,6 +65,15 @@ def _call(kernel, out_shape, *args):
     )(*args)
 
 
+def _call2(kernel, out_shapes, *args):
+    """pallas_call with multiple outputs (used by the double-single kernels)."""
+    return pl.pallas_call(
+        kernel,
+        out_shape=tuple(out_shapes),
+        interpret=_INTERPRET,
+    )(*args)
+
+
 def _to_tiles(x, m, diag_value=0.0):
     """(r, m) -> (nt, r, TILE) with right padding (row 0 pad = diag_value)."""
     r = x.shape[0]

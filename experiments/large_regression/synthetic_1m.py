@@ -1,0 +1,108 @@
+"""Large-scale 1-D regression: N=1e6 points, m up to 10k features.
+
+The reference's analogous experiment is household electricity (~2M rows,
+reference experiments/large_regression/electricity.py) whose data file is
+not distributable; this script reproduces the same protocol (5 random
+splits, NLPD/MSE/opt-time/pred-time table, ASVGP vs minibatch baseline) on
+a synthetic dataset matching the BASELINE.md north-star config.
+
+Run:  python experiments/large_regression/synthetic_1m.py \
+          [--n 1000000] [--m 10000] [--splits 5] [--adam-baseline]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+from asvgp_tpu.basis import BSplineBasis  # noqa: E402
+from asvgp_tpu.models import GPR1D, Matern52  # noqa: E402
+from asvgp_tpu.train import fit_adam_minibatch, fit_lbfgs, mse, nlpd  # noqa: E402
+
+
+def make_data(n, seed):
+    rng = np.random.RandomState(seed)
+    x = rng.uniform(0.002, 0.998, n)
+    f = np.sin(7 * x) + 0.5 * np.sin(23 * x) * np.exp(-x)
+    return x, f + 0.3 * rng.randn(n)
+
+
+def run_split(args, seed):
+    x, y = make_data(args.n, seed)
+    n_test = max(1, args.n // 20)  # 95/5 split (reference protocol)
+    xtr, ytr = x[n_test:], y[n_test:]
+    xte, yte = x[:n_test], y[:n_test]
+
+    basis = BSplineBasis(0.0, 1.0, args.m, args.order)
+    t0 = time.time()
+    model = GPR1D((xtr, ytr), Matern52(), basis)
+    jax.block_until_ready(model.stats.kuf_y)
+    t_pre = time.time() - t0
+
+    t0 = time.time()
+    params, loss, iters = fit_lbfgs(
+        jax.jit(model.training_loss), model.init_params(), max_iters=args.iters
+    )
+    jax.block_until_ready(loss)
+    t_opt = time.time() - t0
+
+    t0 = time.time()
+    ld = model.predict_log_density(params, (xte, yte))
+    mean, _ = model.predict_f(params, xte)
+    jax.block_until_ready(mean)
+    t_pred = time.time() - t0
+
+    row = {
+        "elbo": -float(loss),
+        "nlpd": float(nlpd(ld)),
+        "mse": float(mse(yte, mean)),
+        "t_precompute": t_pre,
+        "t_opt": t_opt,
+        "t_pred": t_pred,
+        "iters": int(iters),
+    }
+
+    if args.adam_baseline:
+        t0 = time.time()
+        p_adam, losses = fit_adam_minibatch(
+            basis, 5, xtr, ytr, model.init_params(),
+            batch_size=args.batch, steps=args.adam_steps,
+        )
+        jax.block_until_ready(losses)
+        row["t_adam"] = time.time() - t0
+        ld_a = model.predict_log_density(p_adam, (xte, yte))
+        row["nlpd_adam"] = float(nlpd(ld_a))
+    return row
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=1_000_000)
+    ap.add_argument("--m", type=int, default=10_000)
+    ap.add_argument("--order", type=int, default=3)
+    ap.add_argument("--splits", type=int, default=5)
+    ap.add_argument("--iters", type=int, default=200)
+    ap.add_argument("--adam-baseline", action="store_true")
+    ap.add_argument("--batch", type=int, default=4096)
+    ap.add_argument("--adam-steps", type=int, default=2000)
+    args = ap.parse_args()
+
+    rows = [run_split(args, seed) for seed in range(args.splits)]
+    keys = sorted(rows[0])
+    print(f"{'metric':14s}  mean ± std over {args.splits} splits")
+    for key in keys:
+        vals = np.array([r[key] for r in rows], dtype=float)
+        print(f"{key:14s}  {vals.mean():.6g} ± {vals.std():.3g}")
+
+
+if __name__ == "__main__":
+    main()

@@ -6,6 +6,7 @@ from asvgp_tpu.models.gpr1d import GPR1D
 from asvgp_tpu.models.kron import GPRKron
 from asvgp_tpu.models.additive import GPRAdditive
 from asvgp_tpu.models.exact_gp import ExactGPR
+from asvgp_tpu.models.svgp import SVGP1D
 
 __all__ = [
     "Matern",
@@ -17,4 +18,5 @@ __all__ = [
     "GPRKron",
     "GPRAdditive",
     "ExactGPR",
+    "SVGP1D",
 ]

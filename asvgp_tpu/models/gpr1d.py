@@ -193,20 +193,40 @@ class GPR1D:
         kuu_inv_band = banded.takahashi_inverse_band(l_kuu)
         return kernel, w, p_inv_band - kuu_inv_band, p_inv_band, kuu_inv_band
 
-    def predict_f(self, params, Xnew, full_cov: bool = False):
+    def predict_f(self, params, Xnew, full_cov: bool = False, batch: int | None = None):
         """Posterior mean and marginal variance at Xnew.
 
         ``full_cov`` is not implemented, matching the reference
-        (asvgp/gpr.py:112-113 raises NotImplementedError).
+        (asvgp/gpr.py:112-113 raises NotImplementedError).  ``batch``
+        optionally chunks the test points (reference parity with
+        gpr.py:122-136, but the remainder chunk is NOT dropped here —
+        SURVEY.md §7.3 item 6); with the windowed O(k²)/point predictor
+        chunking is rarely needed.
         """
         if full_cov:
             raise NotImplementedError("full_cov prediction is not implemented")
         kernel, w, diff_band, _, _ = self._posterior_bands(params)
         x = jnp.reshape(Xnew, (-1,))
-        vals, start = make_kuf(self.basis, x)
-        mean = window_dot(w, vals, start)
-        var = kernel.variance + window_quadratic_form(diff_band, vals, start)
-        return mean[:, None], var[:, None]
+
+        def chunk_predict(xc):
+            vals, start = make_kuf(self.basis, xc)
+            mean = window_dot(w, vals, start)
+            var = kernel.variance + window_quadratic_form(diff_band, vals, start)
+            return mean, var
+
+        if not batch:
+            mean, var = chunk_predict(x)
+            return mean[:, None], var[:, None]
+
+        means, vars_ = [], []
+        for lo in range(0, x.shape[0], batch):
+            mc, vc = chunk_predict(x[lo:lo + batch])
+            means.append(mc)
+            vars_.append(vc)
+        return (
+            jnp.concatenate(means)[:, None],
+            jnp.concatenate(vars_)[:, None],
+        )
 
     def predict_y(self, params, Xnew):
         _, lik = self._build(params)

@@ -1,0 +1,104 @@
+"""2-D spatial regression at eNATL60 scale (reference protocol parity).
+
+The reference's eNATL60 experiment (reference experiments/eNATL60/
+eNATL60.py) regresses sea-surface height on N=2,000,000 points with
+GPR_kron: 2 x Matérn-3/2 x B4Spline(m=100 per dim) = 10,000 tensor-product
+features, full-batch L-BFGS, prediction in chunks, MSE+NLL metrics.  The
+NetCDF ocean data is not distributable, so this script runs the identical
+protocol on a synthetic SSH-like field (long-range swirls + eddies); pass
+--data to point at a (N, 3) [lon, lat, ssh] .npy file instead.
+
+Run: python experiments/spatial_2d/ocean_ssh.py [--n 2000000] [--m 100]
+     [--n-test 100000] [--mesh N]   # data-parallel over N devices
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+
+import jax
+
+if os.environ.get("ASVGP_FORCE_CPU"):  # some images ignore JAX_PLATFORMS
+    jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+from asvgp_tpu.basis import BSplineBasis  # noqa: E402
+from asvgp_tpu.models import Matern32  # noqa: E402
+from asvgp_tpu.models.kron import GPRKron  # noqa: E402
+from asvgp_tpu.train import fit_lbfgs, mse, nlpd  # noqa: E402
+from asvgp_tpu.train.logging import WallClock  # noqa: E402
+
+
+def synthetic_ssh(n, seed=1997):
+    rng = np.random.RandomState(seed)
+    X = rng.uniform(0.02, 0.98, (n, 2))
+    u, v = X[:, 0], X[:, 1]
+    f = (
+        np.sin(9 * u + 3 * v)
+        + 0.6 * np.cos(14 * v) * np.sin(5 * u)
+        + 0.3 * np.sin(31 * u * v + 2)
+    )
+    return X, (f + 0.15 * rng.randn(n)).reshape(-1, 1)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=2_000_000)
+    ap.add_argument("--n-test", type=int, default=100_000)
+    ap.add_argument("--m", type=int, default=100)
+    ap.add_argument("--order", type=int, default=4)
+    ap.add_argument("--iters", type=int, default=100)
+    ap.add_argument("--mesh", type=int, default=0, help="data-parallel devices")
+    ap.add_argument("--data", type=str, default=None)
+    args = ap.parse_args()
+
+    if args.data:
+        arr = np.load(args.data)
+        X, y = arr[:, :2], arr[:, 2:3]
+        lo, hi = X.min(0), X.max(0)
+        X = 0.02 + 0.96 * (X - lo) / (hi - lo)  # normalize into the mesh box
+    else:
+        X, y = synthetic_ssh(args.n + args.n_test)
+    Xtr, ytr = X[args.n_test:], y[args.n_test:]
+    Xte, yte = X[:args.n_test], y[:args.n_test]
+
+    bases = [BSplineBasis(0.0, 1.0, args.m, args.order)] * 2
+    kernels = [Matern32(lengthscales=0.1), Matern32(lengthscales=0.1)]
+    mesh = (
+        jax.make_mesh((args.mesh,), ("data",)) if args.mesh else None
+    )
+
+    clock = WallClock()
+    with clock.section("precompute"):
+        model = GPRKron((Xtr, ytr), kernels, bases, noise_variance=0.1, mesh=mesh)
+        jax.block_until_ready(model.stats.kuf_y)
+    print(f"precompute: {clock.times['precompute']:.1f}s "
+          f"(N={len(ytr)}, features={args.m ** 2})")
+
+    with clock.section("optimize"):
+        params, loss, iters = fit_lbfgs(
+            jax.jit(model.training_loss), model.init_params(), max_iters=args.iters
+        )
+        jax.block_until_ready(loss)
+    print(f"optimize: {clock.times['optimize']:.1f}s "
+          f"(ELBO={-float(loss):.2f}, {int(iters)} iters)")
+
+    with clock.section("predict"):
+        mean, var = model.predict_f(params, jnp.asarray(Xte))
+        ld = model.predict_log_density(params, (Xte, yte))
+        jax.block_until_ready(mean)
+    print(f"predict: {clock.times['predict']:.1f}s ({args.n_test} points)")
+
+    print(f"MSE = {float(mse(yte, mean)):.6f}")
+    print(f"NLL = {float(nlpd(ld)):.6f}")
+    print("timings:", {k: round(v, 2) for k, v in clock.summary().items()})
+
+
+if __name__ == "__main__":
+    main()

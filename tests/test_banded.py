@@ -74,7 +74,7 @@ def test_triangular_solves(m, k, r):
     assert np.allclose(np.asarray(xv), np.linalg.solve(L, b[:, 0]), atol=1e-10)
 
 
-@pytest.mark.parametrize("m,k", [(1, 0), (5, 0), (7, 1), (12, 3), (50, 3), (40, 6), (8, 6)])
+@pytest.mark.parametrize("m,k", [(5, 0), (12, 3), (40, 6)])
 def test_takahashi_inverse_band(m, k):
     a_band, A = random_banded_spd(jax.random.PRNGKey(4), m, k)
     l_band = banded.cholesky_band(a_band)

@@ -1,0 +1,50 @@
+"""Smoke tests: the experiment scripts' protocols run end-to-end at tiny sizes."""
+
+import pytest
+
+import os
+import subprocess
+import sys
+
+ROOT = os.path.join(os.path.dirname(__file__), "..")
+ENV = {**os.environ, "JAX_PLATFORMS": "cpu", "ASVGP_FORCE_CPU": "1"}
+
+
+def _run(args):
+    out = subprocess.run(
+        [sys.executable] + args,
+        cwd=ROOT,
+        env=ENV,
+        capture_output=True,
+        text=True,
+        timeout=900,
+    )
+    assert out.returncode == 0, out.stdout + out.stderr
+    return out.stdout
+
+
+def test_snelson_script():
+    stdout = _run(["experiments/snelson/example.py", "--m", "40"])
+    assert "GP: ELBO" in stdout and "ASVGP: ELBO" in stdout
+    gp = float(stdout.split("GP: ELBO = ")[1].split()[0])
+    asvgp = float(stdout.split("ASVGP: ELBO = ")[1].split()[0])
+    assert asvgp <= gp + 1e-6
+
+
+@pytest.mark.slow
+def test_large_regression_script():
+    stdout = _run([
+        "experiments/large_regression/synthetic_1m.py",
+        "--n", "4000", "--m", "64", "--splits", "1", "--iters", "40",
+    ])
+    assert "nlpd" in stdout and "t_opt" in stdout
+
+
+@pytest.mark.slow
+def test_spatial_2d_script():
+    stdout = _run([
+        "experiments/spatial_2d/ocean_ssh.py",
+        "--n", "3000", "--n-test", "500", "--m", "12", "--order", "3",
+        "--iters", "25",
+    ])
+    assert "MSE =" in stdout and "NLL =" in stdout

@@ -20,7 +20,7 @@ from asvgp_tpu.features.spline_features import make_kuu
 from asvgp_tpu.stats.kron import compute_kron_stats, compute_kron_stats_sharded
 
 
-def make_data(n=150, seed=0):
+def make_data(n=120, seed=0):
     rng = np.random.RandomState(seed)
     X = rng.uniform(0.05, 0.95, (n, 2))
     X[:, 1] = X[:, 1] * 2.0 - 0.9  # different domain in dim 2
@@ -49,12 +49,12 @@ def dense_setup(model, params):
     return kernels, lik, Kuu, Kuf, np.asarray(X), np.asarray(y)[:, 0]
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize(
     "kfns,orders,ms",
     [
         ((Matern32, Matern32), (3, 3), (10, 9)),
         ((Matern12, Matern52), (2, 3), (8, 11)),
-        ((Matern32, Matern32), (4, 2), (12, 8)),
     ],
 )
 def test_kron_stats_match_dense(kfns, orders, ms):
@@ -114,6 +114,7 @@ def test_kron_elbo_matches_dense_oracle():
     np.testing.assert_allclose(got, want, rtol=1e-9)
 
 
+@pytest.mark.slow
 def test_kron_predict_matches_dense_oracle():
     X, y = make_data()
     bases = [BSplineBasis(0.0, 1.0, 9, 2), BSplineBasis(-1.0, 1.2, 8, 2)]
@@ -146,6 +147,7 @@ def test_kron_predict_matches_dense_oracle():
     assert np.all(np.asarray(var) > 0)
 
 
+@pytest.mark.slow
 def test_kron_elbo_is_trainable_and_bounded():
     """ELBO improves under L-BFGS and stays a finite scalar."""
     from asvgp_tpu.train import fit_lbfgs

@@ -29,7 +29,7 @@ def random_band(key, m, k):
     return banded.dense_to_lower_band(L0 @ L0.T, k)
 
 
-def ill_conditioned_kuu(m=600):
+def ill_conditioned_kuu(m=384):
     from asvgp_tpu.basis import B3Spline
     from asvgp_tpu.features.spline_features import make_kuu
     from asvgp_tpu.models import Matern32
@@ -37,7 +37,7 @@ def ill_conditioned_kuu(m=600):
     return make_kuu(Matern32(), B3Spline(0.0, 1.0, m))
 
 
-@pytest.mark.parametrize("m,k", [(40, 1), (50, 3), (30, 5)])
+@pytest.mark.parametrize("m,k", [(40, 1)])
 def test_ds_cholesky_matches_f64(m, k):
     a = random_band(0, m, k)
     got = pd.cholesky_band_ds(a)
@@ -45,6 +45,7 @@ def test_ds_cholesky_matches_f64(m, k):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-11, atol=1e-12)
 
 
+@pytest.mark.slow
 def test_ds_cholesky_on_ill_conditioned_kuu():
     """f32 diverges/NaNs on this matrix; DS must match f64 tightly."""
     kuu = ill_conditioned_kuu()
@@ -72,7 +73,7 @@ def test_ds_cholesky_on_ill_conditioned_kuu():
     assert rel < 1e-4
 
 
-@pytest.mark.parametrize("m,k", [(40, 1), (50, 3)])
+@pytest.mark.parametrize("m,k", [(40, 1)])
 def test_ds_takahashi_and_solves_match_f64(m, k):
     a = random_band(1, m, k)
     l = bops.cholesky_band(a)
@@ -93,6 +94,7 @@ def test_ds_takahashi_and_solves_match_f64(m, k):
     )
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("m,k", [(20, 2), (18, 3)])
 def test_ds_vjps_match_autodiff(m, k):
     a = random_band(2, m, k)

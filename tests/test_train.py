@@ -1,0 +1,114 @@
+"""Training-loop, checkpoint, logging and DP-train-step tests."""
+
+import os
+import tempfile
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from asvgp_tpu.basis import B3Spline
+from asvgp_tpu.models import GPR1D, Matern32
+from asvgp_tpu.models.gpr1d import default_params
+from asvgp_tpu.parallel import make_dp_train_step, shard_data
+from asvgp_tpu.train import (
+    fit_adam_minibatch,
+    fit_lbfgs,
+    load_pytree,
+    save_pytree,
+)
+from asvgp_tpu.train.logging import MetricsLogger, WallClock
+
+
+def make_data(n=512, seed=0):
+    rng = np.random.RandomState(seed)
+    x = rng.uniform(0.02, 0.98, n)
+    y = np.sin(8 * x) + 0.1 * rng.randn(n)
+    return x, y
+
+
+import pytest
+
+
+@pytest.mark.slow
+def test_adam_minibatch_improves_elbo():
+    x, y = make_data(2048)
+    basis = B3Spline(0.0, 1.0, 32)
+    model = GPR1D((x, y), Matern32(), basis)
+    p0 = model.init_params()
+    params, losses = fit_adam_minibatch(
+        basis, 3, x, y, p0, batch_size=256, steps=300, learning_rate=0.05
+    )
+    # stochastic losses: compare full-batch ELBO before/after
+    assert float(model.elbo(params)) > float(model.elbo(p0))
+    assert losses.shape == (300,)
+    assert np.all(np.isfinite(np.asarray(losses)))
+
+
+def test_dp_train_step_matches_full_batch_gradient():
+    x, y = make_data(256)
+    basis = B3Spline(0.0, 1.0, 24)
+    mesh = jax.make_mesh((8,), ("data",))
+    step, opt = make_dp_train_step(basis, 3, mesh, optimizer=optax.sgd(0.0))
+    params = default_params(Matern32())
+    state = opt.init(params)
+    xs, ys = shard_data(jnp.asarray(x), jnp.asarray(y), mesh)
+    _, _, loss = step(params, state, xs, ys)
+
+    model = GPR1D((x, y), Matern32(), basis)
+    np.testing.assert_allclose(
+        float(loss), float(model.training_loss(model.init_params())), rtol=1e-10
+    )
+
+
+def test_checkpoint_roundtrip_and_resume():
+    x, y = make_data()
+    model = GPR1D((x, y), Matern32(), B3Spline(0.0, 1.0, 24))
+    params, loss, _ = fit_lbfgs(
+        jax.jit(model.training_loss), model.init_params(), max_iters=20
+    )
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "ckpt.pkl")
+        save_pytree(path, params)
+        restored = load_pytree(path, model.init_params())
+    np.testing.assert_allclose(
+        float(model.training_loss(restored)), float(loss), rtol=1e-14
+    )
+
+
+def test_metrics_logger_and_wallclock():
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "metrics.jsonl")
+        logger = MetricsLogger(path)
+        logger.log(0, elbo=-1.5, grad_norm=jnp.asarray(0.3))
+        logger.log(1, elbo=-1.2)
+        logger.close()
+        with open(path) as f:
+            lines = f.readlines()
+    assert len(lines) == 2
+    import json
+
+    row = json.loads(lines[0])
+    assert row["step"] == 0 and abs(row["elbo"] + 1.5) < 1e-12
+
+    clock = WallClock()
+    with clock.section("a"):
+        pass
+    assert "a" in clock.summary() and "total" in clock.summary()
+
+
+def test_interop_roundtrips():
+    from asvgp_tpu.utils import kuf_to_scipy, lower_band_to_scipy, scipy_to_lower_band
+    from asvgp_tpu.features.spline_features import make_kuu
+
+    basis = B3Spline(0.0, 1.0, 20)
+    kuu = make_kuu(Matern32(), basis)
+    sp = lower_band_to_scipy(kuu)
+    back = scipy_to_lower_band(sp, 3)
+    np.testing.assert_allclose(back, np.asarray(kuu), atol=1e-14)
+
+    x, _ = make_data(64)
+    K = kuf_to_scipy(basis, x)
+    assert K.shape == (20, 64)
+    np.testing.assert_allclose(np.asarray(K.sum(axis=0)).ravel(), 1.0, rtol=1e-12)

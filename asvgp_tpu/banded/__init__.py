@@ -38,6 +38,7 @@ from asvgp_tpu.banded.layout import (
 )
 from asvgp_tpu.banded.ops import (
     cholesky_band,
+    cholesky_band_pair,
     solve_lower_band,
     solve_upper_band_transpose,
     cholesky_solve_band,
@@ -59,6 +60,7 @@ __all__ = [
     "lower_band_of_symmetric",
     "mask_lower_band",
     "cholesky_band",
+    "cholesky_band_pair",
     "solve_lower_band",
     "solve_upper_band_transpose",
     "cholesky_solve_band",

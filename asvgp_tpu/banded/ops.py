@@ -131,6 +131,20 @@ def cholesky_band(a_band: jnp.ndarray) -> jnp.ndarray:
     return cols.T
 
 
+def cholesky_band_pair(a_band: jnp.ndarray, b_band: jnp.ndarray):
+    """Factor two independent banded SPD matrices (same shape).
+
+    On TPU/float64 this runs one lane-interleaved double-single Pallas pass
+    (the DS column update is a latency-bound chain, so the second matrix is
+    nearly free); elsewhere it is just two cholesky_band calls.
+    """
+    if a_band.shape == b_band.shape and _use_pallas_ds(a_band):
+        from asvgp_tpu.banded import pallas_ds_pair as pdp
+
+        return pdp.cholesky_band_pair_ds(a_band, b_band)
+    return cholesky_band(a_band), cholesky_band(b_band)
+
+
 def log_det_from_cholesky(l_band: jnp.ndarray) -> jnp.ndarray:
     """log|A| = 2 sum_i log L[i, i] given the banded Cholesky factor."""
     return 2.0 * jnp.sum(jnp.log(l_band[0]))

@@ -71,14 +71,14 @@ def collapsed_elbo_banded(stats: SufficientStats, kuu_band, sigma2, kdiag_sum):
     Mirrors reference asvgp/gpr.py:49-89 term by term, with the trace
     computed as a banded Frobenius product (see banded.band_frobenius).
     """
-    l_kuu = banded.cholesky_band(kuu_band)
+    p_band = stats.kufkfu_band / sigma2 + kuu_band
+    # one pair-factorization covers both matrices (fused DS kernel on TPU)
+    l_kuu, l_p = banded.cholesky_band_pair(kuu_band, p_band)
     log_det_kuu = banded.log_det_from_cholesky(l_kuu)
 
     kuu_inv_band = banded.takahashi_inverse_band(l_kuu)
     trace_term = banded.band_frobenius(kuu_inv_band, stats.kufkfu_band)
 
-    p_band = stats.kufkfu_band / sigma2 + kuu_band
-    l_p = banded.cholesky_band(p_band)
     log_det_p = banded.log_det_from_cholesky(l_p)
     c = banded.solve_lower_band(l_p, stats.kuf_y) / sigma2
 
@@ -185,9 +185,8 @@ class GPR1D:
         kernel, lik = self._build(params)
         sigma2 = lik.variance
         kuu = make_kuu(kernel, self.basis)
-        l_kuu = banded.cholesky_band(kuu)
         p_band = self.stats.kufkfu_band / sigma2 + kuu
-        l_p = banded.cholesky_band(p_band)
+        l_kuu, l_p = banded.cholesky_band_pair(kuu, p_band)
         w = banded.cholesky_solve_band(l_p, self.stats.kuf_y) / sigma2
         p_inv_band = banded.takahashi_inverse_band(l_p)
         kuu_inv_band = banded.takahashi_inverse_band(l_kuu)

@@ -44,8 +44,17 @@ def set_impl(impl: str) -> None:
 
 
 def _target_platform() -> str:
-    """Best-effort trace-time target platform: honors an enclosing
-    ``jax.default_device(...)`` context, else the default backend."""
+    """Best-effort trace-time target platform: honors an active mesh
+    (``jax.set_mesh``) or ``jax.default_device(...)`` context, else the
+    default backend."""
+    try:
+        mesh = jax.sharding.get_mesh()
+        if mesh is not None and getattr(mesh, "devices", None) is not None:
+            devs = list(mesh.devices.flat)
+            if devs:
+                return devs[0].platform
+    except Exception:
+        pass
     dev = jax.config.jax_default_device
     if dev is not None:
         return dev.platform

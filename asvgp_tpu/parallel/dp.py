@@ -84,7 +84,12 @@ def make_dp_train_step(basis, nu2: int, mesh, *, axis: str = "data",
         return params, opt_state, loss
 
     def step_in_mesh(params, opt_state, x, y):
-        with jax.set_mesh(mesh):
+        # default_device carries the mesh's platform into the banded-op
+        # backend dispatch (ops._target_platform)
+        import numpy as _np
+
+        dev0 = list(_np.asarray(mesh.devices).flat)[0]
+        with jax.set_mesh(mesh), jax.default_device(dev0):
             return step(params, opt_state, x, y)
 
     return step_in_mesh, opt

@@ -99,7 +99,7 @@ def time_step(model, params, device, reps=5):
                 return carry + loss + 1e-20 * gsum, loss
 
             total, losses = jax.lax.scan(
-                body, jnp.zeros((), p["q" if False else "likelihood"]["raw_variance"].dtype),
+                body, jnp.zeros((), p["likelihood"]["raw_variance"].dtype),
                 jnp.arange(K_STEPS, dtype=p["likelihood"]["raw_variance"].dtype),
             )
             return total, losses

@@ -73,6 +73,40 @@ def test_ds_cholesky_on_ill_conditioned_kuu():
     assert rel < 1e-4
 
 
+@pytest.mark.slow
+def test_ds_pair_cholesky_matches_two_singles():
+    from asvgp_tpu.banded import pallas_ds_pair as pdp
+
+    a = random_band(10, 40, 3)
+    b = random_band(11, 40, 3)
+    la, lb = pdp.cholesky_band_pair_ds(a, b)
+    np.testing.assert_allclose(
+        np.asarray(la), np.asarray(bops.cholesky_band(a)), rtol=1e-11, atol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray(lb), np.asarray(bops.cholesky_band(b)), rtol=1e-11, atol=1e-12
+    )
+    # pair VJP against scan autodiff
+    ca = banded.mask_lower_band(jax.random.normal(jax.random.PRNGKey(12), a.shape))
+    cb = banded.mask_lower_band(jax.random.normal(jax.random.PRNGKey(13), b.shape))
+    ga, gb = jax.grad(
+        lambda x, y: jnp.vdot(pdp.cholesky_band_pair_ds(x, y)[0], ca)
+        + jnp.vdot(pdp.cholesky_band_pair_ds(x, y)[1], cb),
+        argnums=(0, 1),
+    )(a, b)
+    bops.set_impl("scan")
+    try:
+        wga, wgb = jax.grad(
+            lambda x, y: jnp.vdot(bops.cholesky_band(x), ca)
+            + jnp.vdot(bops.cholesky_band(y), cb),
+            argnums=(0, 1),
+        )(a, b)
+    finally:
+        bops.set_impl("auto")
+    np.testing.assert_allclose(np.asarray(ga), np.asarray(wga), rtol=1e-6, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(gb), np.asarray(wgb), rtol=1e-6, atol=1e-8)
+
+
 @pytest.mark.parametrize("m,k", [(40, 1)])
 def test_ds_takahashi_and_solves_match_f64(m, k):
     a = random_band(1, m, k)

@@ -43,6 +43,8 @@ from asvgp_tpu.banded.ops import (
     solve_upper_band_transpose,
     cholesky_solve_band,
     takahashi_inverse_band,
+    collapsed_core,
+    banded_posterior,
     log_det_from_cholesky,
     band_frobenius,
     product_band_band,
@@ -65,6 +67,8 @@ __all__ = [
     "solve_upper_band_transpose",
     "cholesky_solve_band",
     "takahashi_inverse_band",
+    "collapsed_core",
+    "banded_posterior",
     "log_det_from_cholesky",
     "band_frobenius",
     "product_band_band",

@@ -106,3 +106,24 @@ def recip(yh, yl):
     one = jnp.ones_like(yh)
     zero = jnp.zeros_like(yh)
     return div(one, zero, yh, yl)
+
+
+def rsqrt(yh, yl):
+    """DS 1/sqrt(y): f32 seed + one DS-accurate Newton step.
+
+    Shorter serial chain than sqrt-then-recip, and yields the reciprocal
+    pivot directly (the Cholesky kernels need BOTH sqrt(d) = d*rsqrt(d) and
+    1/sqrt(d)).  The f32 seed error e ~ 2⁻²³ is removed by the e/2 + 3e²/8
+    Newton/Householder correction (error O(e³) ~ 2⁻⁶⁹ < DS eps); do NOT use
+    hardware rsqrt as the seed refiner alone — lax.rsqrt on this TPU is
+    approximate and the recursions compound error (CLAUDE.md)."""
+    r0 = 1.0 / jnp.sqrt(yh)
+    th, tl = mul_f32(yh, yl, r0)
+    th, tl = mul_f32(th, tl, r0)
+    e = (1.0 - th) - tl  # 1 - y r0², exact near 1 (Sterbenz)
+    corr = e * (0.5 + 0.375 * e)
+    ph, pl = two_prod(r0, corr)
+    sh, sl = two_sum(r0, ph)
+    l = sl + pl
+    h = sh + l
+    return h, l - (h - sh)

@@ -304,6 +304,62 @@ def takahashi_inverse_band(l_band: jnp.ndarray) -> jnp.ndarray:
     return cols.T
 
 
+def collapsed_core(kuu_band, p_band, b, big_band):
+    """The banded heart of the collapsed ELBO in one differentiable call:
+
+        (log|Kuu|, log|P|, bᵀP⁻¹b, tr(Kuu⁻¹ B))
+
+    Mirrors the banded portion of the reference ELBO (asvgp/gpr.py:49-89;
+    its C++ ops cholesky_band, inverse_from_cholesky_band, product_band_band
+    and solve_triang_mat).  On TPU/float64 this runs the two fused
+    double-single sweeps of pallas_ds_core.py with closed-form band
+    gradients for the log-dets and the quadratic; elsewhere it composes the
+    individual scan ops (autodiff through lax.scan).
+    """
+    if (
+        kuu_band.shape[0] > 1
+        and kuu_band.shape == p_band.shape == big_band.shape
+        and b.ndim == 1
+        and _use_pallas_ds(kuu_band)
+    ):
+        from asvgp_tpu.banded import pallas_ds_core as pdc
+
+        return pdc.collapsed_core_ds(kuu_band, p_band, b, big_band)
+    l_kuu, l_p = cholesky_band_pair(kuu_band, p_band)
+    s_kuu = takahashi_inverse_band(l_kuu)
+    c0 = solve_lower_band(l_p, b)
+    return (
+        log_det_from_cholesky(l_kuu),
+        log_det_from_cholesky(l_p),
+        jnp.sum(jnp.square(c0)),
+        band_frobenius(s_kuu, big_band),
+    )
+
+
+def banded_posterior(kuu_band, p_band, b):
+    """(band of Kuu⁻¹, band of P⁻¹, P⁻¹ b) — the prediction-time posterior
+    quantities (reference asvgp/gpr.py:94-118, minus the CHOLMOD detour).
+    Not differentiated (prediction leaves autodiff in the reference too,
+    SURVEY.md §3.3)."""
+    if (
+        kuu_band.shape[0] > 1
+        and kuu_band.shape == p_band.shape
+        and b.ndim == 1
+        and _use_pallas_ds(kuu_band)
+    ):
+        from asvgp_tpu.banded import pallas_ds_core as pdc
+
+        _, _, s_kuu, s_p, _, u = pdc.factor_takahashi_solve_ds(
+            kuu_band, p_band, b
+        )
+        return s_kuu, s_p, u
+    l_kuu, l_p = cholesky_band_pair(kuu_band, p_band)
+    s_kuu = takahashi_inverse_band(l_kuu)
+    s_p = takahashi_inverse_band(l_p)
+    u = cholesky_solve_band(l_p, b)
+    return s_kuu, s_p, u
+
+
 def band_frobenius(a_band: jnp.ndarray, b_band: jnp.ndarray) -> jnp.ndarray:
     """trace(A @ B) for symmetric A, B given as lower bands.
 

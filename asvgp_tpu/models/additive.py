@@ -23,6 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from asvgp_tpu import banded
+from asvgp_tpu.banded import dsx
 from asvgp_tpu.features.spline_features import make_kuu
 from asvgp_tpu.models.kernels import Matern
 from asvgp_tpu.models.likelihoods import Gaussian
@@ -124,12 +125,11 @@ class GPRAdditive:
             trace_term = trace_term + banded.band_frobenius(s_band, blk_band)
 
         P = self._dense_p(kuu_bands, sigma2)
-        L = jnp.linalg.cholesky(P)
+        # dense coupling factorization: DS on accelerators (banded/dsx.py),
+        # plain f64 elsewhere
+        L = dsx.cholesky_auto(P)
         log_det_p = 2.0 * jnp.sum(jnp.log(jnp.diagonal(L)))
-        c = (
-            jax.scipy.linalg.solve_triangular(L, self.stats.kuf_y, lower=True)
-            / sigma2
-        )
+        c = dsx.solve_triangular_auto(L, self.stats.kuf_y) / sigma2
         total_variance = sum(k.variance for k in kernels)
 
         elbo = -0.5 * self.stats.n * (_LOG2PI + jnp.log(sigma2))
@@ -157,9 +157,9 @@ class GPRAdditive:
         s_bands = [banded.takahashi_inverse_band(lb) for lb in l_bands]
 
         P = self._dense_p(kuu_bands, sigma2)
-        L = jnp.linalg.cholesky(P)
-        w = jax.scipy.linalg.cho_solve((L, True), self.stats.kuf_y) / sigma2
-        Pinv = jax.scipy.linalg.cho_solve((L, True), jnp.eye(P.shape[0], dtype=P.dtype))
+        L = dsx.cholesky_auto(P)
+        w = dsx.cho_solve_auto(L, self.stats.kuf_y) / sigma2
+        Pinv = dsx.cho_solve_auto(L, jnp.eye(P.shape[0], dtype=P.dtype))
 
         x = jnp.asarray(Xnew)
         evals = [b.evaluate_basis(x[:, d], dx=0) for d, b in enumerate(self.bases)]

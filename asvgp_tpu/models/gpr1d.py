@@ -72,21 +72,17 @@ def collapsed_elbo_banded(stats: SufficientStats, kuu_band, sigma2, kdiag_sum):
     computed as a banded Frobenius product (see banded.band_frobenius).
     """
     p_band = stats.kufkfu_band / sigma2 + kuu_band
-    # one pair-factorization covers both matrices (fused DS kernel on TPU)
-    l_kuu, l_p = banded.cholesky_band_pair(kuu_band, p_band)
-    log_det_kuu = banded.log_det_from_cholesky(l_kuu)
-
-    kuu_inv_band = banded.takahashi_inverse_band(l_kuu)
-    trace_term = banded.band_frobenius(kuu_inv_band, stats.kufkfu_band)
-
-    log_det_p = banded.log_det_from_cholesky(l_p)
-    c = banded.solve_lower_band(l_p, stats.kuf_y) / sigma2
+    # the whole banded portion in one call: two fused DS sweeps on TPU
+    # (pallas_ds_core.py), composed scan ops elsewhere
+    log_det_kuu, log_det_p, quad, trace_term = banded.collapsed_core(
+        kuu_band, p_band, stats.kuf_y, stats.kufkfu_band
+    )
 
     elbo = -0.5 * stats.n * (_LOG2PI + jnp.log(sigma2))
     elbo -= 0.5 * log_det_p
     elbo += 0.5 * log_det_kuu
     elbo -= 0.5 * stats.yty / sigma2
-    elbo += 0.5 * jnp.sum(jnp.square(c))
+    elbo += 0.5 * quad / (sigma2 * sigma2)
     elbo -= 0.5 * kdiag_sum / sigma2
     elbo += 0.5 * trace_term / sigma2
     return elbo
@@ -112,6 +108,59 @@ def window_dot(vec, vals, start):
     kp1 = vals.shape[1]
     idx = start[:, None] + jnp.arange(kp1, dtype=start.dtype)[None, :]
     return jnp.sum(vals * vec[idx], axis=1)
+
+
+class Posterior1D:
+    """Cached GPR1D posterior: the banded factorizations are done ONCE at
+    construction; every ``predict_f`` call afterwards is pure windowed
+    gathers, O(k²) per test point.  (The reference re-factorizes inside
+    every ``predict_f`` call — asvgp/gpr.py:94-108; so did our round-1
+    ``GPR1D.predict_f``, which now routes through this object.)"""
+
+    def __init__(self, kernel, lik, basis, w, diff_band):
+        self.kernel = kernel
+        self.likelihood = lik
+        self.basis = basis
+        self.w = w
+        self.diff_band = diff_band
+
+    def predict_f(self, Xnew, full_cov: bool = False, batch: int | None = None):
+        if full_cov:
+            raise NotImplementedError("full_cov prediction is not implemented")
+        x = jnp.reshape(Xnew, (-1,))
+
+        def chunk_predict(xc):
+            vals, start = make_kuf(self.basis, xc)
+            mean = window_dot(self.w, vals, start)
+            var = self.kernel.variance + window_quadratic_form(
+                self.diff_band, vals, start
+            )
+            return mean, var
+
+        if not batch:
+            mean, var = chunk_predict(x)
+            return mean[:, None], var[:, None]
+
+        means, vars_ = [], []
+        for lo in range(0, x.shape[0], batch):
+            mc, vc = chunk_predict(x[lo:lo + batch])
+            means.append(mc)
+            vars_.append(vc)
+        return (
+            jnp.concatenate(means)[:, None],
+            jnp.concatenate(vars_)[:, None],
+        )
+
+    def predict_y(self, Xnew):
+        mean, var = self.predict_f(Xnew)
+        return self.likelihood.predict_mean_and_var(mean, var)
+
+    def predict_log_density(self, data):
+        Xnew, ynew = data
+        mean, var = self.predict_f(Xnew)
+        return self.likelihood.predict_log_density(
+            mean, var, jnp.reshape(jnp.asarray(ynew), mean.shape)
+        )
 
 
 class GPR1D:
@@ -186,11 +235,19 @@ class GPR1D:
         sigma2 = lik.variance
         kuu = make_kuu(kernel, self.basis)
         p_band = self.stats.kufkfu_band / sigma2 + kuu
-        l_kuu, l_p = banded.cholesky_band_pair(kuu, p_band)
-        w = banded.cholesky_solve_band(l_p, self.stats.kuf_y) / sigma2
-        p_inv_band = banded.takahashi_inverse_band(l_p)
-        kuu_inv_band = banded.takahashi_inverse_band(l_kuu)
+        # both Takahashi bands and the posterior mean weights come out of
+        # the same two fused sweeps used by the ELBO (pallas_ds_core.py)
+        kuu_inv_band, p_inv_band, u = banded.banded_posterior(
+            kuu, p_band, self.stats.kuf_y
+        )
+        w = u / sigma2
         return kernel, w, p_inv_band - kuu_inv_band, p_inv_band, kuu_inv_band
+
+    def posterior(self, params) -> Posterior1D:
+        """Factor once, predict many: returns a cached posterior object."""
+        _, lik = self._build(params)
+        kernel, w, diff_band, _, _ = self._posterior_bands(params)
+        return Posterior1D(kernel, lik, self.basis, w, diff_band)
 
     def predict_f(self, params, Xnew, full_cov: bool = False, batch: int | None = None):
         """Posterior mean and marginal variance at Xnew.
@@ -202,29 +259,8 @@ class GPR1D:
         SURVEY.md §7.3 item 6); with the windowed O(k²)/point predictor
         chunking is rarely needed.
         """
-        if full_cov:
-            raise NotImplementedError("full_cov prediction is not implemented")
-        kernel, w, diff_band, _, _ = self._posterior_bands(params)
-        x = jnp.reshape(Xnew, (-1,))
-
-        def chunk_predict(xc):
-            vals, start = make_kuf(self.basis, xc)
-            mean = window_dot(w, vals, start)
-            var = kernel.variance + window_quadratic_form(diff_band, vals, start)
-            return mean, var
-
-        if not batch:
-            mean, var = chunk_predict(x)
-            return mean[:, None], var[:, None]
-
-        means, vars_ = [], []
-        for lo in range(0, x.shape[0], batch):
-            mc, vc = chunk_predict(x[lo:lo + batch])
-            means.append(mc)
-            vars_.append(vc)
-        return (
-            jnp.concatenate(means)[:, None],
-            jnp.concatenate(vars_)[:, None],
+        return self.posterior(params).predict_f(
+            Xnew, full_cov=full_cov, batch=batch
         )
 
     def predict_y(self, params, Xnew):

@@ -157,14 +157,13 @@ class GPRKron:
         return -self.elbo(params)
 
     # ---- prediction -----------------------------------------------------------
-    def predict_f(self, params, Xnew, full_cov: bool = False):
-        if full_cov:
-            raise NotImplementedError("full_cov prediction is not implemented")
+    def posterior(self, params) -> "PosteriorKron":
+        """Factor once, predict many (mirrors GPR1D.posterior): the block-
+        banded factorization, posterior mean weights and block-Takahashi
+        band are computed once and cached in the returned object."""
         kernels, lik = self._build(params)
         sigma2 = lik.variance
-        b1, b2 = self.bases
-        k1, k2 = b1.order, b2.order
-        m1, m2 = b1.m, b2.m
+        m1, m2 = self.bases[0].m, self.bases[1].m
 
         kuu_bands = self._factor_bands(kernels)
         l_bands = [banded.cholesky_band(kb) for kb in kuu_bands]
@@ -175,6 +174,46 @@ class GPRKron:
         w = block.cholesky_solve_block_banded(l_p, self.stats.kuf_y) / sigma2
         w_grid = w.reshape(m1, m2)
         sp = block.takahashi_inverse_block_banded(l_p)  # (k1+1, m1, m2, m2)
+        return PosteriorKron(kernels, lik, self.bases, w_grid, sp, s_bands)
+
+    def predict_f(self, params, Xnew, full_cov: bool = False):
+        return self.posterior(params).predict_f(Xnew, full_cov=full_cov)
+
+    # unified efficient path replaces the reference's separate sparse predictor
+    predict_f_sparse = predict_f
+
+    def predict_y(self, params, Xnew):
+        _, lik = self._build(params)
+        mean, var = self.predict_f(params, Xnew)
+        return lik.predict_mean_and_var(mean, var)
+
+    def predict_log_density(self, params, data):
+        Xnew, ynew = data
+        _, lik = self._build(params)
+        mean, var = self.predict_f(params, Xnew)
+        return lik.predict_log_density(
+            mean, var, jnp.reshape(jnp.asarray(ynew), mean.shape)
+        )
+
+
+class PosteriorKron:
+    """Cached GPRKron posterior (block factorization done once at
+    construction; predictions are windowed gathers, O((k+1)⁴) per point)."""
+
+    def __init__(self, kernels, lik, bases, w_grid, sp, s_bands):
+        self.kernels = kernels
+        self.likelihood = lik
+        self.bases = bases
+        self.w_grid = w_grid
+        self.sp = sp
+        self.s_bands = s_bands
+
+    def predict_f(self, Xnew, full_cov: bool = False):
+        if full_cov:
+            raise NotImplementedError("full_cov prediction is not implemented")
+        b1, b2 = self.bases
+        k1, k2 = b1.order, b2.order
+        w_grid, sp, s_bands = self.w_grid, self.sp, self.s_bands
 
         x = jnp.asarray(Xnew)
         v1, c1 = b1.evaluate_basis(x[:, 0], dx=0)
@@ -208,22 +247,17 @@ class GPRKron:
         q1 = window_quadratic_form(s_bands[0], v1, c1)
         q2 = window_quadratic_form(s_bands[1], v2, c2)
 
-        kdiag = kernels[0].variance * kernels[1].variance
+        kdiag = self.kernels[0].variance * self.kernels[1].variance
         var = kdiag + quad_p - q1 * q2
         return mean[:, None], var[:, None]
 
-    # unified efficient path replaces the reference's separate sparse predictor
-    predict_f_sparse = predict_f
+    def predict_y(self, Xnew):
+        mean, var = self.predict_f(Xnew)
+        return self.likelihood.predict_mean_and_var(mean, var)
 
-    def predict_y(self, params, Xnew):
-        _, lik = self._build(params)
-        mean, var = self.predict_f(params, Xnew)
-        return lik.predict_mean_and_var(mean, var)
-
-    def predict_log_density(self, params, data):
+    def predict_log_density(self, data):
         Xnew, ynew = data
-        _, lik = self._build(params)
-        mean, var = self.predict_f(params, Xnew)
-        return lik.predict_log_density(
+        mean, var = self.predict_f(Xnew)
+        return self.likelihood.predict_log_density(
             mean, var, jnp.reshape(jnp.asarray(ynew), mean.shape)
         )

@@ -1,0 +1,77 @@
+"""DS block-banded ops (banded/block.py _ds variants over banded/dsx.py):
+forced on CPU via the impl flag and compared against the plain f64 path."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from asvgp_tpu.banded import block
+from asvgp_tpu.banded import ops as bops
+
+
+@pytest.fixture
+def ds_impl():
+    bops.set_impl("pallas_ds")
+    yield
+    bops.set_impl("auto")
+
+
+def make_block_banded(key, W, nb, B, diag=None):
+    rng = np.random.RandomState(key)
+    n = nb * B
+    dense = rng.randn(n, n) * 0.2
+    dense = dense @ dense.T + (diag or (2.0 * B)) * np.eye(n)
+    # restrict to the block band
+    out = np.zeros((W + 1, nb, B, B))
+    for p in range(W + 1):
+        for j in range(nb - p):
+            out[p, j] = dense[(j + p) * B:(j + p + 1) * B, j * B:(j + 1) * B]
+    return jnp.asarray(out)
+
+
+@pytest.mark.parametrize("W,nb,B", [(1, 4, 6), (2, 5, 3)])
+def test_block_cholesky_and_solves_ds(ds_impl, W, nb, B):
+    blocks = make_block_banded(0, W, nb, B)
+    got_l = block.cholesky_block_banded(blocks)
+    bops.set_impl("auto")
+    want_l = block.cholesky_block_banded(blocks)
+    bops.set_impl("pallas_ds")
+    np.testing.assert_allclose(np.asarray(got_l), np.asarray(want_l),
+                               rtol=1e-11, atol=1e-11)
+
+    b = jnp.asarray(np.random.RandomState(1).randn(nb * B))
+    got_x = block.solve_lower_block_banded(got_l, b)
+    got_y = block.solve_upper_block_banded_transpose(got_l, b)
+    got_s = block.takahashi_inverse_block_banded(got_l)
+    bops.set_impl("auto")
+    want_x = block.solve_lower_block_banded(want_l, b)
+    want_y = block.solve_upper_block_banded_transpose(want_l, b)
+    want_s = block.takahashi_inverse_block_banded(want_l)
+    bops.set_impl("pallas_ds")
+    np.testing.assert_allclose(np.asarray(got_x), np.asarray(want_x),
+                               rtol=1e-10, atol=1e-11)
+    np.testing.assert_allclose(np.asarray(got_y), np.asarray(want_y),
+                               rtol=1e-10, atol=1e-11)
+    np.testing.assert_allclose(np.asarray(got_s), np.asarray(want_s),
+                               rtol=1e-9, atol=1e-11)
+
+
+def test_block_ds_gradients(ds_impl):
+    """Gradient of a logdet+solve scalar through the DS block ops must match
+    the f64 autodiff path (exercises dsx custom VJPs through lax.scan)."""
+    W, nb, B = 1, 3, 4
+    blocks = make_block_banded(2, W, nb, B)
+    b = jnp.asarray(np.random.RandomState(3).randn(nb * B))
+
+    def loss(blk):
+        l = block.cholesky_block_banded(blk)
+        c = block.solve_lower_block_banded(l, b)
+        return block.log_det_from_block_cholesky(l) + jnp.sum(c ** 2)
+
+    got = jax.grad(loss)(blocks)
+    bops.set_impl("auto")
+    want = jax.grad(loss)(blocks)
+    bops.set_impl("pallas_ds")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-7, atol=1e-9)

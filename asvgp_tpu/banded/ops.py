@@ -349,7 +349,7 @@ def banded_posterior(kuu_band, p_band, b):
     ):
         from asvgp_tpu.banded import pallas_ds_core as pdc
 
-        _, _, s_kuu, s_p, _, u = pdc.factor_takahashi_solve_ds(
+        _, _, s_kuu, s_p, _, u, _ = pdc.factor_takahashi_solve_ds(
             kuu_band, p_band, b
         )
         return s_kuu, s_p, u

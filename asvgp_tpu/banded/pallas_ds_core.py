@@ -48,6 +48,7 @@ from jax import lax
 
 from asvgp_tpu.banded import ds
 from asvgp_tpu.banded.pallas_ds import (
+    _ds_sum_rows,
     _merge_tiles,
     _split_tiles,
 )
@@ -235,13 +236,206 @@ def _tak_pair_solve_kernel(lh_ref, ll_ref, ivh_ref, ivl_ref, mask_ref,
 
 
 # ===========================================================================
+# Takahashi adjoint, vectorized (v2): (k,1)-vector column updates instead of
+# the scalar chains of pallas_ds.py:_takahashi_bwd_ds_kernel, and the
+# reciprocal diagonals streamed in from kernel A (no divides at all).
+# Same recursion, ~35 DS ops/column instead of ~60 — the kernel is
+# issue-bound, so instruction count is the cost model.
+# ===========================================================================
+
+
+
+def _mask_ge(n, thresh, dtype):
+    rows = lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+    return lax.convert_element_type(
+        lax.ge(rows, jnp.full_like(rows, thresh)), dtype
+    )
+
+
+def _mask_le(n, thresh, dtype):
+    rows = lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+    return lax.convert_element_type(
+        lax.le(rows, jnp.full_like(rows, thresh)), dtype
+    )
+
+
+def _mask_eq(n, thresh, dtype):
+    rows = lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+    return lax.convert_element_type(
+        lax.eq(rows, jnp.full_like(rows, thresh)), dtype
+    )
+
+
+def _tak_bwd_vec_kernel(lh_ref, ll_ref, sh_ref, sl_ref, snh_ref, snl_ref,
+                        cth_ref, ctl_ref, ivh_ref, ivl_ref, mask_ref,
+                        oh_ref, ol_ref):
+    nt, kp1, _ = lh_ref.shape
+    k = kp1 - 1
+    f32 = jnp.float32
+    import numpy as np
+    from jax.experimental.pallas import tpu as pltpu
+
+    e0 = _row0(k, f32)
+
+    def tile_body(t, Q):
+        lth, ltl = lh_ref[t], ll_ref[t]
+        sth, stl = sh_ref[t], sl_ref[t]
+        snh, snl = snh_ref[t], snl_ref[t]
+        cth, ctl = cth_ref[t], ctl_ref[t]
+        ivh, ivl = ivh_ref[t], ivl_ref[t]
+        msk = mask_ref[t]
+        colsh, colsl = [], []
+        for j in range(TILE):
+            lch, lcl = lth[:, j:j + 1], ltl[:, j:j + 1]
+            sch, scl = sth[:, j:j + 1], stl[:, j:j + 1]
+            dh, dl = ivh[0, j], ivl[0, j]
+            l0h, l0l = lch[0, 0], lcl[0, 0]
+
+            # CS columns j+1..j+k (k+1, 1) each
+            csh, csl = [], []
+            for p in range(1, k + 1):
+                if j + p < TILE:
+                    csh.append(sth[:, j + p:j + p + 1])
+                    csl.append(stl[:, j + p:j + p + 1])
+                else:
+                    csh.append(snh[:, j + p - TILE:j + p - TILE + 1])
+                    csl.append(snl[:, j + p - TILE:j + p - TILE + 1])
+
+            mj = msk[:, j:j + 1]
+            q0h, q0l = Q[0]
+            cbh, cbl = ds.add(cth[:, j:j + 1], ctl[:, j:j + 1], q0h, q0l)
+            cbh = cbh * mj
+            cbl = cbl * mj
+            sjbh, sjbl = cbh[0, 0], cbl[0, 0]
+
+            # ROW-ALIGNED layout: every per-q vector lives at row q of a
+            # (k+1, 1) value (row 0 zeroed) — no sublane slices or pads,
+            # only rolls + masks (Mosaic on this platform rejects sublane
+            # concat/pad of offset-carrying slices).
+            ne0 = 1.0 - e0
+            wvh, wvl = lch * ne0, lcl * ne0      # rows 1..k: L[j+q, j]
+            svh, svl = sch * ne0, scl * ne0      # rows 1..k: S[j+q, j]
+            sbh_, sbl_ = cbh * ne0, cbl * ne0    # rows 1..k: s̄ seed
+
+            # t_q = -s_q l0 (vector × scalar)
+            tvh, tvl = ds.mul(svh, svl, l0h, l0l)
+            tvh, tvl = -tvh, -tvl
+            # ws = Σ w s
+            ph_, pl_ = ds.mul(wvh, wvl, svh, svl)
+            wsh, wsl = _ds_sum_rows(ph_, pl_, 1, k + 1)
+            # m1 = d·sjb ; d̄ = 2 m1 − ws·sjb
+            m1h, m1l = ds.mul(dh, dl, sjbh, sjbl)
+            t2h, t2l = ds.mul(wsh, wsl, sjbh, sjbl)
+            dbh, dbl = ds.sub(m1h + m1h, m1l + m1l, t2h, t2l)
+            # w̄ = −m1 s ; s̄ −= m1 w
+            wbh, wbl = ds.mul(svh, svl, m1h, m1l)
+            wbh, wbl = -wbh, -wbl
+            u1h, u1l = ds.mul(wvh, wvl, m1h, m1l)
+            sbh_, sbl_ = ds.sub(sbh_, sbl_, u1h, u1l)
+            # d̄ −= Σ s̄ t ; t̄ = −d s̄
+            ph_, pl_ = ds.mul(sbh_, sbl_, tvh, tvl)
+            u2h, u2l = _ds_sum_rows(ph_, pl_, 1, k + 1)
+            dbh, dbl = ds.sub(dbh, dbl, u2h, u2l)
+            tbh, tbl = ds.mul(sbh_, sbl_, dh, dl)
+            tbh, tbl = -tbh, -tbl
+
+            # ---- M products, vectorized ------------------------------
+            # Lcol_p[q] = M[q,p] for q >= p  (= CS[q-p, p-1], row-aligned)
+            lcolh, lcoll = [], []
+            for p in range(1, k + 1):
+                gm = _mask_ge(k + 1, np.int32(p), f32)
+                ch_ = pltpu.roll(csh[p - 1], np.int32(p), 0) * gm
+                cl_ = pltpu.roll(csl[p - 1], np.int32(p), 0) * gm
+                lcolh.append(ch_)
+                lcoll.append(cl_)
+            # V1[q] = Σ_{p<=q} M[q,p] t̄_p  (roll masks zero the p > q part)
+            v1h = jnp.zeros((k + 1, 1), f32)
+            v1l = jnp.zeros((k + 1, 1), f32)
+            for p in range(1, k + 1):
+                uh_, ul_ = ds.mul(lcolh[p - 1], lcoll[p - 1],
+                                  tbh[p, 0], tbl[p, 0])
+                v1h, v1l = ds.add(v1h, v1l, uh_, ul_)
+            # U_q = Σ_{p>q} M[q,p] t̄_p = Σ_{p>q} Lcol_q[p] t̄_p
+            for q in range(1, k):
+                gm = _mask_ge(k + 1, np.int32(q + 1), f32)
+                uh_, ul_ = ds.mul(lcolh[q - 1] * gm, lcoll[q - 1] * gm,
+                                  tbh, tbl)
+                uqh, uql = _ds_sum_rows(uh_, ul_, q + 1, k + 1)
+                eq = _mask_eq(k + 1, np.int32(q), f32)
+                v1h, v1l = ds.add(v1h, v1l, eq * uqh, eq * uql)
+            wbh, wbl = ds.add(wbh, wbl, v1h, v1l)
+
+            # l̄0 = −d̄ d² ; col = e0·l̄0 + w̄ (already at rows 1..k)
+            d2h, d2l = ds.mul(dh, dl, dh, dl)
+            l0bh, l0bl = ds.mul(dbh, dbl, d2h, d2l)
+            colh = e0 * (-l0bh) + wbh * ne0
+            coll = e0 * (-l0bl) + wbl * ne0
+            colsh.append(colh)
+            colsl.append(coll)
+
+            # ---- CS̄ columns and Q update ------------------------------
+            # CS̄[:, c][r] = t̄_{c+1+r} w_{c+1} + (r>0) t̄_{c+1} w_{c+1+r}
+            # (w = the L column VALUES wv, not the gradient w̄); row-aligned
+            # vectors are indexed at row q, so A_c[r] = t̄[r+c+1] comes from
+            # a downward circular roll by k-c.
+            zc = jnp.zeros((k + 1, 1), f32)
+            newQ = []
+            for c in range(k):
+                lim = _mask_le(k + 1, np.int32(k - 1 - c), f32)
+                sh_c = np.int32(k - c)
+                ath = pltpu.roll(tbh, sh_c, 0) * lim
+                atl = pltpu.roll(tbl, sh_c, 0) * lim
+                awh = pltpu.roll(wvh, sh_c, 0) * lim
+                awl = pltpu.roll(wvl, sh_c, 0) * lim
+                c1h, c1l = ds.mul(ath, atl, wvh[c + 1, 0], wvl[c + 1, 0])
+                c2h, c2l = ds.mul(awh, awl, tbh[c + 1, 0], tbl[c + 1, 0])
+                # row 0 would be double-counted: keep only c1's row 0
+                c2h = c2h * ne0
+                c2l = c2l * ne0
+                cbarh, cbarl = ds.add(c1h, c1l, c2h, c2l)
+                prevh, prevl = Q[c + 1] if c + 1 < k else (zc, zc)
+                newQ.append(ds.add(prevh, prevl, cbarh, cbarl))
+            Q = tuple(newQ)
+        oh_ref[t] = jnp.concatenate(colsh, axis=1)
+        ol_ref[t] = jnp.concatenate(colsl, axis=1)
+        return Q
+
+    zc0 = jnp.zeros((k + 1, 1), jnp.float32)
+    lax.fori_loop(0, nt, tile_body, tuple((zc0, zc0) for _ in range(k)))
+
+
+def takahashi_bwd_vec_ds(l_band64, s_band64, cot64, iv64):
+    """L̄ from the Takahashi adjoint; iv64 = reciprocal diagonal of L
+    (from kernel A), so the kernel is divide-free."""
+    k = l_band64.shape[0] - 1
+    m = l_band64.shape[1]
+    from asvgp_tpu.banded.pallas_ds import _split_tiles
+    from asvgp_tpu.banded.pallas_kernels import _mask_tiles, _next_tiles
+
+    lh3, ll3 = _split_tiles(l_band64, m, diag_value=1.0)
+    sh3, sl3 = _split_tiles(s_band64, m, diag_value=1.0)
+    ch3, cl3 = _split_tiles(cot64, m)
+    ivh3, ivl3 = _split_tiles(iv64[None, :], m, diag_value=1.0)
+    mask = _mask_tiles(k, m, jnp.float32)
+    oh, ol = _call2(
+        _tak_bwd_vec_kernel,
+        (jax.ShapeDtypeStruct(lh3.shape, jnp.float32),) * 2,
+        lh3, ll3, sh3, sl3,
+        _next_tiles(sh3), _next_tiles(sl3),
+        ch3, cl3, ivh3, ivl3, mask,
+    )
+    return _merge_tiles(oh, ol, m)
+
+
+# ===========================================================================
 # XLA-side wrappers
 # ===========================================================================
 
 
 def factor_takahashi_solve_ds(kuu_band64, p_band64, b64):
-    """Run sweeps A and B: returns (l_kuu, l_p, s_kuu, s_p, c0, u), where
-    c0 = L_P⁻¹ b and u = P⁻¹ b, all float64."""
+    """Run sweeps A and B: returns (l_kuu, l_p, s_kuu, s_p, c0, u, iv_kuu),
+    where c0 = L_P⁻¹ b, u = P⁻¹ b and iv_kuu = 1/diag(L_Kuu) (reused by the
+    divide-free Takahashi adjoint), all float64."""
     k = kuu_band64.shape[0] - 1
     m = kuu_band64.shape[1]
     hi3, lo3, _, nt = _pair_tiles(kuu_band64, p_band64, m, diag_value=1.0)
@@ -275,7 +469,8 @@ def factor_takahashi_solve_ds(kuu_band64, p_band64, b64):
     s_kuu, s_p = _from_pair_tiles(sh3[::-1], sl3[::-1], m)
     c0 = _merge_tiles(ch3, cl3, m)[0]
     u = _merge_tiles(uh3[::-1], ul3[::-1], m)[0]
-    return l_kuu, l_p, s_kuu, s_p, c0, u
+    iv_kuu = _from_pair_tiles(ivh3, ivl3, m)[0][0]
+    return l_kuu, l_p, s_kuu, s_p, c0, u, iv_kuu
 
 
 def _band_weights(k, m, dtype):
@@ -298,7 +493,9 @@ def collapsed_core_ds(kuu_band, p_band, b, big_band):
 
     ``big_band`` is B = banded Kuf·Kufᵀ (same lower bandwidth as Kuu).
     """
-    l_kuu, l_p, s_kuu, _, c0, _ = factor_takahashi_solve_ds(kuu_band, p_band, b)
+    l_kuu, l_p, s_kuu, _, c0, _, _ = factor_takahashi_solve_ds(
+        kuu_band, p_band, b
+    )
     k = kuu_band.shape[0] - 1
     m = kuu_band.shape[1]
     w = _band_weights(k, m, kuu_band.dtype)
@@ -312,7 +509,7 @@ def collapsed_core_ds(kuu_band, p_band, b, big_band):
 
 
 def _cc_fwd(kuu_band, p_band, b, big_band):
-    l_kuu, l_p, s_kuu, s_p, c0, u = factor_takahashi_solve_ds(
+    l_kuu, l_p, s_kuu, s_p, c0, u, iv_kuu = factor_takahashi_solve_ds(
         kuu_band, p_band, b
     )
     k = kuu_band.shape[0] - 1
@@ -324,13 +521,13 @@ def _cc_fwd(kuu_band, p_band, b, big_band):
         jnp.sum(jnp.square(c0)),
         jnp.sum(w * s_kuu * big_band),
     )
-    return out, (l_kuu, s_kuu, s_p, u, big_band)
+    return out, (l_kuu, s_kuu, s_p, u, big_band, iv_kuu)
 
 
 def _cc_bwd(res, cots):
     from asvgp_tpu.banded import pallas_ds as pd
 
-    l_kuu, s_kuu, s_p, u, big_band = res
+    l_kuu, s_kuu, s_p, u, big_band, iv_kuu = res
     g_ldk, g_ldp, g_quad, g_tr = cots
     k = l_kuu.shape[0] - 1
     m = l_kuu.shape[1]
@@ -343,8 +540,16 @@ def _cc_bwd(res, cots):
 
     # trace term: cot_S = g_tr · (w ∘ B) → Takahashi adjoint → Cholesky adjoint
     cot_s = g_tr * (w * big_band)
-    l_bar = pd.takahashi_bwd_ds(l_kuu, s_kuu, cot_s)
-    kuu_bar = pd.cholesky_band_bwd_ds(l_kuu, l_bar) + g_ldk * (w * s_kuu)
+    l_bar = takahashi_bwd_vec_ds(l_kuu, s_kuu, cot_s, iv_kuu)
+    # the lane-interleaved PAIR Cholesky adjoint is faster than the single
+    # kernel even with a dead second lane (measured 5.7ms vs 8.0ms at m=10⁴
+    # — narrow (k+1,1) register ops are the single kernel's bottleneck)
+    from asvgp_tpu.banded import pallas_ds_pair as pdp
+
+    kuu_bar, _ = pdp.cholesky_band_pair_bwd_ds(
+        l_kuu, l_kuu, l_bar, jnp.zeros_like(l_bar)
+    )
+    kuu_bar = kuu_bar + g_ldk * (w * s_kuu)
     return kuu_bar, p_bar, b_bar, big_bar
 
 

@@ -119,6 +119,12 @@ def main():
         "chol_bwd_single",
         lambda x, c: pd.cholesky_band_bwd_ds(x, c), l_a, (cot,), results,
     )
+    iv = 1.0 / l_a[0]
+    time_one(
+        "tak_bwd_vec(v2)",
+        lambda x, s, c, v: pdc.takahashi_bwd_vec_ds(x, s, c, v),
+        l_a, (s_a, cot, iv), results,
+    )
 
     def core_vg(x, y, v, bb):
         out = pdc.collapsed_core_ds(x, y, v, bb)

@@ -36,11 +36,28 @@ _IMPL = "auto"
 
 
 def set_impl(impl: str) -> None:
-    """Select the banded-op backend: "auto", "scan" or "pallas"."""
+    """Select the banded-op backend: "auto", "scan", "pallas", "pallas_ds"
+    or "cr" (block cyclic reduction, banded/cyclic.py)."""
     global _IMPL
-    if impl not in ("auto", "scan", "pallas", "pallas_ds"):
+    if impl not in ("auto", "scan", "pallas", "pallas_ds", "cr"):
         raise ValueError(f"unknown banded impl {impl!r}")
     _IMPL = impl
+
+
+def _use_cr(x) -> bool:
+    """Block cyclic reduction for the collapsed core / posterior on
+    accelerators: log-depth (safe under this platform's f64 emulation,
+    which only degrades in LONG recursions), vectorized over m, and at
+    high condition number slightly MORE accurate than the sequential
+    recursions (tools/referee_mp.py).  Measured at m=10⁴: logdet 0.28ms,
+    its grad (the Takahashi band) 0.17ms vs 5-13ms per Pallas DS sweep."""
+    if _IMPL == "cr":
+        return True
+    return (
+        _IMPL == "auto"
+        and x.dtype == jnp.float64
+        and _target_platform() != "cpu"
+    )
 
 
 def _target_platform() -> str:
@@ -317,6 +334,23 @@ def collapsed_core(kuu_band, p_band, b, big_band):
     individual scan ops (autodiff through lax.scan).
     """
     if (
+        kuu_band.shape == p_band.shape == big_band.shape
+        and b.ndim == 1
+        and _use_cr(kuu_band)
+    ):
+        from asvgp_tpu.banded import cyclic
+
+        ld_p, u = cyclic.cr_logdet_solve(p_band, b)
+        return (
+            cyclic.cr_logdet(kuu_band),
+            ld_p,
+            jnp.vdot(b, u),
+            # tr(Kuu⁻¹B) = ⟨∇log|Kuu|, B⟩ (the gradient IS w∘band(Kuu⁻¹));
+            # cr_trace's custom VJP keeps the second derivative a
+            # forward-mode HVP (reverse² OOMs the remote compiler)
+            cyclic.cr_trace(kuu_band, big_band),
+        )
+    if (
         kuu_band.shape[0] > 1
         and kuu_band.shape == p_band.shape == big_band.shape
         and b.ndim == 1
@@ -341,6 +375,20 @@ def banded_posterior(kuu_band, p_band, b):
     quantities (reference asvgp/gpr.py:94-118, minus the CHOLMOD detour).
     Not differentiated (prediction leaves autodiff in the reference too,
     SURVEY.md §3.3)."""
+    if (
+        kuu_band.shape == p_band.shape
+        and b.ndim == 1
+        and _use_cr(kuu_band)
+    ):
+        from asvgp_tpu.banded import cyclic
+
+        k = kuu_band.shape[0] - 1
+        m = kuu_band.shape[1]
+        w = cyclic.band_weights(k, m, kuu_band.dtype)
+        s_kuu = jax.grad(cyclic.cr_logdet)(kuu_band) / w
+        s_p = jax.grad(cyclic.cr_logdet)(p_band) / w
+        u = cyclic.cr_solve(p_band, b)
+        return s_kuu, s_p, u
     if (
         kuu_band.shape[0] > 1
         and kuu_band.shape == p_band.shape

@@ -45,19 +45,15 @@ def set_impl(impl: str) -> None:
 
 
 def _use_cr(x) -> bool:
-    """Block cyclic reduction for the collapsed core / posterior on
-    accelerators: log-depth (safe under this platform's f64 emulation,
-    which only degrades in LONG recursions), vectorized over m, and at
-    high condition number slightly MORE accurate than the sequential
-    recursions (tools/referee_mp.py).  Measured at m=10⁴: logdet 0.28ms,
-    its grad (the Takahashi band) 0.17ms vs 5-13ms per Pallas DS sweep."""
-    if _IMPL == "cr":
-        return True
-    return (
-        _IMPL == "auto"
-        and x.dtype == jnp.float64
-        and _target_platform() != "cpu"
-    )
+    """Block cyclic reduction for the collapsed core / posterior — OPT-IN
+    via set_impl("cr").  Log-depth, autodiff end-to-end, and at high
+    condition number slightly MORE accurate than the sequential recursions
+    (tools/referee_mp.py) — but on THIS platform lax.scan charges ~134µs
+    of loop overhead per iteration and the unrolled form is miscompiled by
+    the f64 emulation (banded/cyclic.py), leaving CR slower than the
+    Pallas DS kernels for training (47.9 vs 28.0 ms/step at the bench
+    config) despite ~1000x less sequential depth."""
+    return _IMPL == "cr"
 
 
 def _target_platform() -> str:

@@ -96,9 +96,31 @@ def _matmul_ds_raw(ah, al, bh, bl):
     return ch * s, cl * s
 
 
+# The exact-accumulation argument (2·8 product bits + 7 carry bits < 24)
+# only holds while every f32 dot accumulates ≤ 2⁷ = 128 terms per carry
+# level; empirically the slice products stay exact for inner dimensions up
+# to ~1024.  Beyond that a silent precision cliff would violate the
+# f64-equivalence contract, so we chunk the contraction and combine the
+# partial products with DS adds (still exact).
+_MAX_INNER = 1024
+
+
 @jax.custom_vjp
 def matmul_ds(a, b):
     """float64 matmul executed as exact-sliced bf16 MXU products."""
+    k_inner = a.shape[-1]
+    if k_inner > _MAX_INNER:
+        ch = cl = None
+        for s in range(0, k_inner, _MAX_INNER):
+            e = min(s + _MAX_INNER, k_inner)
+            ah, al = ds.split_f64(a[..., s:e])
+            bh, bl = ds.split_f64(b[..., s:e, :])
+            ph, pl = _matmul_ds_raw(ah, al, bh, bl)
+            if ch is None:
+                ch, cl = ph, pl
+            else:
+                ch, cl = ds.add(ch, cl, ph, pl)
+        return ds.merge_f64(ch, cl)
     ah, al = ds.split_f64(a)
     bh, bl = ds.split_f64(b)
     ch, cl = _matmul_ds_raw(ah, al, bh, bl)
@@ -109,12 +131,28 @@ def _mm_f(a, b):
     return matmul_ds(a, b), (a, b)
 
 
+def _unbroadcast(grad, shape):
+    """Sum a cotangent over dims broadcast in the primal (batched matmul)."""
+    if grad.shape == tuple(shape):
+        return grad
+    extra = grad.ndim - len(shape)
+    if extra > 0:
+        grad = jnp.sum(grad, axis=tuple(range(extra)))
+    axes = tuple(
+        i
+        for i, (g, s) in enumerate(zip(grad.shape, shape))
+        if s == 1 and g != 1
+    )
+    if axes:
+        grad = jnp.sum(grad, axis=axes, keepdims=True)
+    return grad
+
+
 def _mm_b(res, cot):
     a, b = res
-    return (
-        matmul_ds(cot, jnp.swapaxes(b, -1, -2)),
-        matmul_ds(jnp.swapaxes(a, -1, -2), cot),
-    )
+    da = matmul_ds(cot, jnp.swapaxes(b, -1, -2))
+    db = matmul_ds(jnp.swapaxes(a, -1, -2), cot)
+    return _unbroadcast(da, a.shape), _unbroadcast(db, b.shape)
 
 
 matmul_ds.defvjp(_mm_f, _mm_b)

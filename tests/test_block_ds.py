@@ -57,10 +57,12 @@ def test_block_cholesky_and_solves_ds(ds_impl, W, nb, B):
                                rtol=1e-9, atol=1e-11)
 
 
-def test_block_ds_gradients(ds_impl):
+@pytest.mark.parametrize("W,nb,B", [(1, 3, 4), (2, 5, 3)])
+def test_block_ds_gradients(ds_impl, W, nb, B):
     """Gradient of a logdet+solve scalar through the DS block ops must match
-    the f64 autodiff path (exercises dsx custom VJPs through lax.scan)."""
-    W, nb, B = 1, 3, 4
+    the f64 autodiff path (exercises dsx custom VJPs through lax.scan).
+    W>=2 exercises the broadcast-cotangent path in matmul_ds's VJP
+    (_matmul_ds_batched against a (1,B,B) operand)."""
     blocks = make_block_banded(2, W, nb, B)
     b = jnp.asarray(np.random.RandomState(3).randn(nb * B))
 

@@ -103,3 +103,35 @@ def test_solve_triangular_ds_vjp(trans):
             np.asarray(jnp.tril(w) if w.ndim == 2 and w.shape == l.shape else w),
             rtol=1e-9, atol=1e-11,
         )
+
+
+def test_matmul_ds_vjp_broadcast_batch():
+    """grad wrt a broadcast (1,B,B) operand of a batched matmul_ds must have
+    the primal's shape (cotangents summed over the broadcast batch dim)."""
+    a = jax.random.normal(jax.random.PRNGKey(8), (1, 4, 4), jnp.float64)
+    b = jax.random.normal(jax.random.PRNGKey(9), (5, 4, 3), jnp.float64)
+    cot = jax.random.normal(jax.random.PRNGKey(10), (5, 4, 3), jnp.float64)
+    ga, gb = jax.grad(
+        lambda x, y: jnp.vdot(dsx.matmul_ds(x, y), cot), argnums=(0, 1)
+    )(a, b)
+    assert ga.shape == a.shape and gb.shape == b.shape
+    want_a = jnp.sum(jnp.matmul(cot, jnp.swapaxes(b, -1, -2)),
+                     axis=0, keepdims=True)
+    want_b = jnp.matmul(jnp.swapaxes(jnp.broadcast_to(a, (5, 4, 4)), -1, -2),
+                        cot)
+    np.testing.assert_allclose(np.asarray(ga), np.asarray(want_a),
+                               rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(gb), np.asarray(want_b),
+                               rtol=1e-9, atol=1e-12)
+
+
+def test_matmul_ds_wide_inner_chunked():
+    """K > 1024 contractions must stay f64-accurate (chunked accumulation)."""
+    rng = np.random.RandomState(20)
+    k_inner = 1500
+    a = jnp.asarray(rng.randn(4, k_inner))
+    b = jnp.asarray(rng.randn(k_inner, 4))
+    got = dsx.matmul_ds(a, b)
+    want = a @ b
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-12, atol=1e-12)

@@ -49,7 +49,12 @@ def test_core_sweeps_match_f64(m, k):
     kuu = random_band(0, m, k)
     p = random_band(1, m, k, diag=4.0)
     b = jax.random.normal(jax.random.PRNGKey(2), (m,), jnp.float64)
-    l_kuu, l_p, s_kuu, s_p, c0, u = pdc.factor_takahashi_solve_ds(kuu, p, b)
+    l_kuu, l_p, s_kuu, s_p, c0, u, iv_kuu = pdc.factor_takahashi_solve_ds(
+        kuu, p, b
+    )
+    np.testing.assert_allclose(
+        np.asarray(iv_kuu), 1.0 / np.asarray(l_kuu[0]), rtol=1e-12
+    )
     bops.set_impl("scan")
     try:
         w_lk = bops.cholesky_band(kuu)

@@ -42,68 +42,44 @@ def _tri_solve_right(L, X):
     )
 
 
-def _tri_solve_right_ds(L, X):
-    """DS version of _tri_solve_right: Y = X L^{-T} ⇔ Yᵀ = L⁻¹ Xᵀ, batched
-    by concatenating the transposed RHS blocks along columns."""
-    from asvgp_tpu.banded import dsx
+def _mm(a, b):
+    """Dense matmul at f64 precision, DS-sliced on accelerators."""
+    if _use_ds(a):
+        from asvgp_tpu.banded import dsx
 
-    W, B, _ = X.shape
-    Z = jnp.moveaxis(jnp.swapaxes(X, -1, -2), 0, 1).reshape(B, W * B)
-    Yt = dsx.solve_triangular_ds(L, Z, True, False)
-    return jnp.swapaxes(jnp.moveaxis(Yt.reshape(B, W, B), 1, 0), -1, -2)
+        return dsx.matmul_ds(a, b)
+    return jnp.matmul(a, b, preferred_element_type=a.dtype)
 
 
-def _matmul_ds_batched(A, Bmat):
-    from asvgp_tpu.banded import dsx
+def _diag_block_inverses(l0_blocks):
+    """(nb, B, B) lower-triangular inverses of all diagonal blocks (zero
+    padding blocks guarded to the identity)."""
+    if _use_ds(l0_blocks):
+        from asvgp_tpu.banded import block_ds, ds
 
-    return dsx.matmul_ds(A, Bmat)
+        h, l = ds.split_f64(l0_blocks)
+        ih, il = block_ds.tri_inv_diag_blocks_ds(h, l)
+        return ds.merge_f64(ih, il)
+    B = l0_blocks.shape[-1]
+    eye = jnp.eye(B, dtype=l0_blocks.dtype)
+    good = jnp.abs(l0_blocks).sum(axis=(-1, -2), keepdims=True) > 0
+    safe = jnp.where(good, l0_blocks, eye)
+    return jax.vmap(
+        lambda L: lax.linalg.triangular_solve(L, eye, left_side=True, lower=True)
+    )(safe)
 
 
 def _cholesky_block_banded_ds(blocks: jnp.ndarray) -> jnp.ndarray:
-    """DS (f64-on-TPU) variant of :func:`cholesky_block_banded`: the dense
-    per-step algebra runs through dsx (exact-sliced MXU matmuls, DS scan
-    Cholesky/solves); elementwise f64 glue stays XLA (measured fine on this
-    platform, CLAUDE.md)."""
-    from asvgp_tpu.banded import dsx
+    """DS (f64-on-TPU) variant of :func:`cholesky_block_banded`: scan-free
+    unrolled panel factorization per block column (block_ds.py) — the
+    round-1 dsx-scan-per-block version cost ~134µs of lax.scan loop
+    overhead per INNER iteration on this platform."""
+    from asvgp_tpu.banded import block_ds
 
-    Wp1, nb, B, _ = blocks.shape
-    W = Wp1 - 1
-    dtype = blocks.dtype
-
-    if W == 0:
-        return jax.vmap(dsx.cholesky_ds)(blocks[0])[None]
-
-    def step(carry, inp):
-        C, = carry,
-        a_col, j = inp
-        s = a_col
-        for p in range(1, W + 1):
-            g = C[p - 1, p]
-            upd = _matmul_ds_batched(C[p - 1, p:], g.T[None])
-            s = s.at[: W - p + 1].add(-upd)
-        ljj = dsx.cholesky_ds(s[0])
-        off = _tri_solve_right_ds(ljj, s[1:])
-        col = jnp.concatenate([ljj[None], off], axis=0)
-        mask = (j + jnp.arange(W + 1) < nb).astype(dtype)[:, None, None]
-        col = col * mask
-        C_new = jnp.concatenate([col[None], C[:-1]], axis=0)
-        return C_new, col
-
-    init = jnp.zeros((W, W + 1, B, B), dtype)
-    _, cols = lax.scan(step, init, (jnp.moveaxis(blocks, 1, 0), jnp.arange(nb)))
-    return jnp.moveaxis(cols, 0, 1)
+    return block_ds.cholesky_block_banded_ds(blocks)
 
 
-def cholesky_block_banded(blocks: jnp.ndarray) -> jnp.ndarray:
-    """Block-banded Cholesky: A = L L^T, same block-band structure.
-
-    Args:
-      blocks: (W+1, nb, B, B) block-lower storage of symmetric positive-
-        definite A (diagonal blocks full-symmetric).
-    Returns:
-      (W+1, nb, B, B) block-lower storage of L (diagonal blocks lower-
-      triangular).
-    """
+def _cholesky_block_banded_impl(blocks: jnp.ndarray) -> jnp.ndarray:
     Wp1, nb, B, _ = blocks.shape
     W = Wp1 - 1
     dtype = blocks.dtype
@@ -140,6 +116,153 @@ def cholesky_block_banded(blocks: jnp.ndarray) -> jnp.ndarray:
     return jnp.moveaxis(cols, 0, 1)
 
 
+def _phi_block(x, B, dtype):
+    """Lower triangle with halved diagonal (Cholesky-adjoint projector),
+    applied over the last two dims."""
+    return jnp.tril(x) - 0.5 * x * jnp.eye(B, dtype=dtype)
+
+
+def _chol_block_adjoint(l_blocks: jnp.ndarray, lbar: jnp.ndarray) -> jnp.ndarray:
+    """Ā from (L, L̄) for the block-banded Cholesky — reverse block
+    recursion mirroring the forward scan (the TPU-native equivalent of the
+    C++ cholesky_band registered gradient, reference asvgp/gpr.py:56).
+
+    Derivation: reverse-mode of the forward step
+      S_q(J) = A_q(J) - Σ_p L[q+p, J-p] L[p, J-p]ᵀ ;
+      L0 = chol(S_0);  L_q = S_q L0^{-T}
+    processed at column K (reverse), gathering the Schur-update cotangent
+    contributions from the already-processed columns K+1..K+W (carried as
+    a window of S̄ columns):
+      L̄[a,K] += -Σ_p S̄_{a-p}(K+p) L[p,K]  - Σ_q S̄_q(K+a)ᵀ L[q+a,K]
+      S̄_q(K)  = L̄_q L0^{-1}   (q ≥ 1)
+      S̄_0(K)  = ½ L0^{-T}(Φ(L0ᵀ M)+Φ(L0ᵀ M)ᵀ)L0^{-1},
+                M = tril(L̄_0 - Σ_q S̄_qᵀ L_q)
+      Ā_q(K)  = S̄_q(K).
+    """
+    Wp1, nb, B, _ = l_blocks.shape
+    W = Wp1 - 1
+    dtype = l_blocks.dtype
+    linv = _diag_block_inverses(l_blocks[0])  # (nb, B, B)
+
+    if W == 0:
+        lb0 = jnp.tril(lbar[0])
+        m = _phi_block(_mm(jnp.swapaxes(l_blocks[0], -1, -2), lb0), B, dtype)
+        sym = m + jnp.swapaxes(m, -1, -2)
+        abar0 = 0.5 * _mm(jnp.swapaxes(linv, -1, -2), _mm(sym, linv))
+        return abar0[None]
+
+    zero_blk = jnp.zeros((B, B), dtype)
+
+    def step(sb, inp):
+        # sb: (W, W+1, B, B) — sb[p-1] = S̄ column K+p
+        l_col, li, yb, k = inp
+        g = l_col[1:].reshape(W * B, B)  # [L[1,K]; ...; L[W,K]]
+        r = jnp.stack(
+            [
+                jnp.concatenate(
+                    [
+                        sb[p - 1, a - p] if a - p >= 0 else zero_blk
+                        for p in range(1, W + 1)
+                    ],
+                    axis=-1,
+                )
+                for a in range(W + 1)
+            ],
+            axis=0,
+        )  # (W+1, B, W*B)
+        t1 = -_mm(r, g)  # (W+1, B, B)
+        t = jnp.stack(
+            [
+                jnp.concatenate(
+                    [jnp.swapaxes(sb[a - 1, q], -1, -2) for q in range(W + 1)],
+                    axis=-1,
+                )
+                for a in range(1, W + 1)
+            ],
+            axis=0,
+        )  # (W, B, (W+1)*B)
+        h = jnp.stack(
+            [
+                jnp.concatenate(
+                    [
+                        l_col[q + a] if q + a <= W else zero_blk
+                        for q in range(W + 1)
+                    ],
+                    axis=0,
+                )
+                for a in range(1, W + 1)
+            ],
+            axis=0,
+        )  # (W, (W+1)*B, B)
+        t2 = -_mm(t, h)  # (W, B, B)
+        lb = yb + t1
+        lb = lb.at[1:].add(t2)
+        keep = (k + jnp.arange(W + 1) < nb)[:, None, None]
+        lb = jnp.where(keep, lb, 0.0)
+        sbar_off = _mm(lb[1:], jnp.broadcast_to(li, (W, B, B)))  # S̄_q, q>=1
+        # L̄_0 -= Σ_q S̄_qᵀ L_q   (tr(M dL0ᵀ) = ⟨M, dL0⟩ with M = S̄_qᵀ L_q)
+        extra = _mm(
+            jnp.swapaxes(sbar_off.reshape(W * B, B), 0, 1),
+            l_col[1:].reshape(W * B, B),
+        )
+        m = _phi_block(
+            _mm(jnp.swapaxes(l_col[0], -1, -2), jnp.tril(lb[0] - extra)),
+            B,
+            dtype,
+        )
+        sym = m + jnp.swapaxes(m, -1, -2)
+        sbar0 = 0.5 * _mm(jnp.swapaxes(li, -1, -2), _mm(sym, li))
+        col = jnp.concatenate([sbar0[None], sbar_off], axis=0)
+        col = jnp.where(keep, col, 0.0)
+        sb_new = jnp.concatenate([col[None], sb[:-1]], axis=0)
+        return sb_new, col
+
+    init = jnp.zeros((W, W + 1, B, B), dtype)
+    _, cols = lax.scan(
+        step,
+        init,
+        (
+            jnp.moveaxis(l_blocks, 1, 0),
+            linv,
+            jnp.moveaxis(lbar, 1, 0),
+            jnp.arange(nb),
+        ),
+        reverse=True,
+    )
+    return jnp.moveaxis(cols, 0, 1)
+
+
+@jax.custom_vjp
+def cholesky_block_banded(blocks: jnp.ndarray) -> jnp.ndarray:
+    """Block-banded Cholesky: A = L L^T, same block-band structure.
+
+    Args:
+      blocks: (W+1, nb, B, B) block-lower storage of symmetric positive-
+        definite A (diagonal blocks full-symmetric).
+    Returns:
+      (W+1, nb, B, B) block-lower storage of L (diagonal blocks lower-
+      triangular).
+
+    Differentiable via a registered reverse block recursion
+    (:func:`_chol_block_adjoint`) — required because the DS forward path
+    (block_ds.py) is built from raw sliced products that do not carry
+    their own VJPs, and cheaper than scan-transpose autodiff everywhere.
+    """
+    return _cholesky_block_banded_impl(blocks)
+
+
+def _chol_block_fwd(blocks):
+    l = _cholesky_block_banded_impl(blocks)
+    return l, l
+
+
+def _chol_block_bwd(l, lbar):
+    return (_chol_block_adjoint(l, lbar),)
+
+
+cholesky_block_banded.defvjp(_chol_block_fwd, _chol_block_bwd)
+
+
 def log_det_from_block_cholesky(l_blocks: jnp.ndarray) -> jnp.ndarray:
     """log|A| = 2 Σ log diag(L): sum over diagonal blocks' diagonals.
 
@@ -153,49 +276,12 @@ def log_det_from_block_cholesky(l_blocks: jnp.ndarray) -> jnp.ndarray:
 
 
 def _solve_lower_block_banded_ds(l_blocks: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    from asvgp_tpu.banded import dsx
+    from asvgp_tpu.banded import block_ds
 
-    Wp1, nb, B, _ = l_blocks.shape
-    W = Wp1 - 1
-    dtype = l_blocks.dtype
-    vec = b.ndim == 1
-    b2 = b[:, None] if vec else b
-    r = b2.shape[1]
-    b_blocks = b2.reshape(nb, B, r)
-
-    eye = jnp.eye(B, dtype=dtype)
-
-    def solve_block(ljj, s):
-        ljj_safe = jnp.where(jnp.abs(ljj).sum() > 0, ljj, eye)
-        return dsx.solve_triangular_ds(ljj_safe, s, True, False)
-
-    if W == 0:
-        x = jax.vmap(solve_block)(l_blocks[0], b_blocks).reshape(nb * B, r)
-        return x[:, 0] if vec else x
-
-    G = jnp.stack(
-        [jnp.roll(l_blocks[p], p, axis=0).at[:p].set(0.0) for p in range(1, W + 1)],
-        axis=0,
-    )
-
-    def step(X, inp):
-        g_col, ljj, b_blk = inp
-        s = b_blk - jnp.sum(_matmul_ds_batched(g_col, X), axis=0)
-        xj = solve_block(ljj, s)
-        X_new = jnp.concatenate([xj[None], X[:-1]], axis=0)
-        return X_new, xj
-
-    init = jnp.zeros((W, B, r), dtype)
-    _, x = lax.scan(step, init, (jnp.moveaxis(G, 1, 0), l_blocks[0], b_blocks))
-    x = x.reshape(nb * B, r)
-    return x[:, 0] if vec else x
+    return block_ds.solve_lower_block_banded_ds(l_blocks, b)
 
 
-def solve_lower_block_banded(l_blocks: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """Solve L x = b with L block-banded lower (from cholesky_block_banded).
-
-    b: (nb*B,) or (nb*B, r).
-    """
+def _solve_lower_block_banded_impl(l_blocks: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     Wp1, nb, B, _ = l_blocks.shape
     W = Wp1 - 1
     dtype = l_blocks.dtype
@@ -241,42 +327,12 @@ def solve_lower_block_banded(l_blocks: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarr
 
 
 def _solve_upper_block_banded_transpose_ds(l_blocks: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    from asvgp_tpu.banded import dsx
+    from asvgp_tpu.banded import block_ds
 
-    Wp1, nb, B, _ = l_blocks.shape
-    W = Wp1 - 1
-    dtype = l_blocks.dtype
-    vec = b.ndim == 1
-    b2 = b[:, None] if vec else b
-    r = b2.shape[1]
-    b_blocks = b2.reshape(nb, B, r)
-    eye = jnp.eye(B, dtype=dtype)
-
-    def solve_block_t(ljj, s):
-        ljj_safe = jnp.where(jnp.abs(ljj).sum() > 0, ljj, eye)
-        return dsx.solve_triangular_ds(ljj_safe, s, True, True)
-
-    if W == 0:
-        x = jax.vmap(solve_block_t)(l_blocks[0], b_blocks).reshape(nb * B, r)
-        return x[:, 0] if vec else x
-
-    def step(X, inp):
-        l_col, b_blk = inp
-        s = b_blk - jnp.sum(
-            _matmul_ds_batched(jnp.swapaxes(l_col[1:], -1, -2), X), axis=0
-        )
-        xj = solve_block_t(l_col[0], s)
-        X_new = jnp.concatenate([xj[None], X[:-1]], axis=0)
-        return X_new, xj
-
-    init = jnp.zeros((W, B, r), dtype)
-    _, x = lax.scan(step, init, (jnp.moveaxis(l_blocks, 1, 0), b_blocks), reverse=True)
-    x = x.reshape(nb * B, r)
-    return x[:, 0] if vec else x
+    return block_ds.solve_upper_block_banded_transpose_ds(l_blocks, b)
 
 
-def solve_upper_block_banded_transpose(l_blocks: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """Solve L^T x = b (backward block substitution)."""
+def _solve_upper_block_banded_transpose_impl(l_blocks: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     Wp1, nb, B, _ = l_blocks.shape
     W = Wp1 - 1
     dtype = l_blocks.dtype
@@ -320,6 +376,79 @@ def solve_upper_block_banded_transpose(l_blocks: jnp.ndarray, b: jnp.ndarray) ->
     return x[:, 0] if vec else x
 
 
+def _band_outer_blocks(u: jnp.ndarray, v: jnp.ndarray, Wp1: int, nb: int, B: int):
+    """Block band of -u vᵀ: out[p, J] = -u_block[J+p] v_block[J]ᵀ (zero for
+    J+p ≥ nb, diagonal blocks tril-masked — the L storage convention)."""
+    r = u.shape[1]
+    ub = u.reshape(nb, B, r)
+    vb = v.reshape(nb, B, r)
+    outs = []
+    for p in range(Wp1):
+        shifted = jnp.roll(ub, -p, axis=0)
+        if p:
+            shifted = shifted.at[max(nb - p, 0):].set(0.0)
+        blk = -jnp.einsum("jbr,jcr->jbc", shifted, vb)
+        if p == 0:
+            blk = jnp.tril(blk)
+        outs.append(blk)
+    return jnp.stack(outs, axis=0)
+
+
+@jax.custom_vjp
+def solve_lower_block_banded(l_blocks: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Solve L x = b with L block-banded lower (from cholesky_block_banded).
+
+    b: (nb*B,) or (nb*B, r).  Differentiable via the registered algebraic
+    adjoint (b̄ = L⁻ᵀ x̄, L̄ = -b̄ xᵀ on the block band).
+    """
+    return _solve_lower_block_banded_impl(l_blocks, b)
+
+
+def _solve_lower_fwd(l_blocks, b):
+    x = _solve_lower_block_banded_impl(l_blocks, b)
+    return x, (l_blocks, x)
+
+
+def _solve_lower_bwd(res, xbar):
+    l_blocks, x = res
+    Wp1, nb, B, _ = l_blocks.shape
+    vec = x.ndim == 1
+    bbar = _solve_upper_block_banded_transpose_impl(l_blocks, xbar)
+    x2 = x[:, None] if vec else x
+    bb2 = bbar[:, None] if vec else bbar
+    lbar = _band_outer_blocks(bb2, x2, Wp1, nb, B)
+    return lbar, bbar
+
+
+solve_lower_block_banded.defvjp(_solve_lower_fwd, _solve_lower_bwd)
+
+
+@jax.custom_vjp
+def solve_upper_block_banded_transpose(l_blocks: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Solve L^T x = b (backward block substitution).  Differentiable via
+    the registered algebraic adjoint (b̄ = L⁻¹ x̄, L̄ = -x b̄ᵀ on the band)."""
+    return _solve_upper_block_banded_transpose_impl(l_blocks, b)
+
+
+def _solve_upper_fwd(l_blocks, b):
+    x = _solve_upper_block_banded_transpose_impl(l_blocks, b)
+    return x, (l_blocks, x)
+
+
+def _solve_upper_bwd(res, xbar):
+    l_blocks, x = res
+    Wp1, nb, B, _ = l_blocks.shape
+    vec = x.ndim == 1
+    bbar = _solve_lower_block_banded_impl(l_blocks, xbar)
+    x2 = x[:, None] if vec else x
+    bb2 = bbar[:, None] if vec else bbar
+    lbar = _band_outer_blocks(x2, bb2, Wp1, nb, B)
+    return lbar, bbar
+
+
+solve_upper_block_banded_transpose.defvjp(_solve_upper_fwd, _solve_upper_bwd)
+
+
 def cholesky_solve_block_banded(l_blocks: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return solve_upper_block_banded_transpose(
         l_blocks, solve_lower_block_banded(l_blocks, b)
@@ -327,59 +456,9 @@ def cholesky_solve_block_banded(l_blocks: jnp.ndarray, b: jnp.ndarray) -> jnp.nd
 
 
 def _takahashi_inverse_block_banded_ds(l_blocks: jnp.ndarray) -> jnp.ndarray:
-    from asvgp_tpu.banded import dsx
+    from asvgp_tpu.banded import block_ds
 
-    Wp1, nb, B, _ = l_blocks.shape
-    W = Wp1 - 1
-    dtype = l_blocks.dtype
-    eye = jnp.eye(B, dtype=dtype)
-
-    def inv_lower(ljj):
-        ljj_safe = jnp.where(jnp.abs(ljj).sum() > 0, ljj, eye)
-        return dsx.solve_triangular_ds(ljj_safe, eye, True, False)
-
-    if W == 0:
-        def inv_block(L):
-            Linv = inv_lower(L)
-            return dsx.matmul_ds(Linv.T, Linv)
-
-        return jax.vmap(inv_block)(l_blocks[0])[None]
-
-    def step(CS, inp):
-        l_col, j = inp
-        linv = inv_lower(l_col[0])
-        w = l_col[1:]
-        rows = []
-        for q in range(1, W + 1):
-            cols = []
-            for p in range(1, W + 1):
-                if p <= q:
-                    cols.append(CS[p - 1, q - p])
-                else:
-                    cols.append(jnp.swapaxes(CS[q - 1, p - q], -1, -2))
-            rows.append(jnp.stack(cols, axis=0))
-        M = jnp.stack(rows, axis=0)  # (W, W, B, B)
-        # t[q] = Σ_p M[q,p] @ w[p]  via one batched DS matmul
-        Mq = jnp.moveaxis(M, 1, 2).reshape(W, B, W * B)
-        t = dsx.matmul_ds(Mq, w.reshape(W * B, B)[None])
-        s_off = -dsx.matmul_ds(t, jnp.broadcast_to(linv, t.shape))
-        # acc[i,k] = Σ_{p,j} s_off[p,j,i] w[p,j,k]
-        acc = dsx.matmul_ds(
-            jnp.swapaxes(s_off.reshape(W * B, B), 0, 1), w.reshape(W * B, B)
-        )
-        sjj = dsx.matmul_ds(linv.T - acc, linv)
-        sjj = 0.5 * (sjj + sjj.T)
-        col = jnp.concatenate([sjj[None], s_off], axis=0)
-        mask = (j + jnp.arange(W + 1) < nb).astype(dtype)[:, None, None]
-        col = col * mask
-        CS_new = jnp.concatenate([col[None], CS[:-1]], axis=0)
-        return CS_new, col
-
-    init = jnp.zeros((W, W + 1, B, B), dtype)
-    _, cols = lax.scan(
-        step, init, (jnp.moveaxis(l_blocks, 1, 0), jnp.arange(nb)), reverse=True
-    )
-    return jnp.moveaxis(cols, 0, 1)
+    return block_ds.takahashi_inverse_block_banded_ds(l_blocks)
 
 
 def takahashi_inverse_block_banded(l_blocks: jnp.ndarray) -> jnp.ndarray:

@@ -85,3 +85,24 @@ def test_block_pipeline_differentiable():
         )
 
     check_grads(f, (blocks,), order=1, modes=["rev"], rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("W,nb,B", [(1, 4, 2), (2, 5, 3), (0, 3, 4)])
+def test_chol_block_adjoint_matches_scan_autodiff(W, nb, B):
+    """The registered reverse-recursion VJP of cholesky_block_banded must
+    equal JAX scan-transpose autodiff of the raw implementation for an
+    arbitrary band-supported cotangent."""
+    blocks, _ = random_block_banded_spd(0, nb, B, W)
+    lbar = jnp.asarray(np.random.RandomState(7).randn(W + 1, nb, B, B))
+    for p in range(1, W + 1):
+        lbar = lbar.at[p, nb - p:].set(0.0)
+    lbar = lbar.at[0].set(jnp.tril(lbar[0]))
+
+    want = jax.grad(
+        lambda blk: jnp.vdot(block._cholesky_block_banded_impl(blk), lbar)
+    )(blocks)
+    got = jax.grad(
+        lambda blk: jnp.vdot(block.cholesky_block_banded(blk), lbar)
+    )(blocks)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-12, atol=1e-13)

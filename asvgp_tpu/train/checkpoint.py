@@ -26,7 +26,11 @@ def save_pytree(path: str, tree) -> None:
 
 
 def load_pytree(path: str, like):
-    """Load leaves saved by save_pytree into the structure of ``like``."""
+    """Load leaves saved by save_pytree into the structure of ``like``.
+
+    The stored treedef string must match ``like``'s exactly — a silent
+    positional restore into a structurally different pytree would scramble
+    parameters."""
     with open(path, "rb") as f:
         payload = pickle.load(f)
     leaves, treedef = jax.tree.flatten(like)
@@ -34,6 +38,19 @@ def load_pytree(path: str, like):
     if len(saved) != len(leaves):
         raise ValueError(
             f"checkpoint has {len(saved)} leaves, expected {len(leaves)}"
+        )
+    saved_def = payload.get("treedef")
+    if saved_def is not None and saved_def != str(treedef):
+        raise ValueError(
+            "checkpoint pytree structure does not match the target:\n"
+            f"  saved:  {saved_def}\n  target: {treedef}"
+        )
+    shapes = [(np.shape(s), np.shape(l)) for s, l in zip(saved, leaves)]
+    bad = [i for i, (a, b) in enumerate(shapes) if a != b]
+    if bad:
+        raise ValueError(
+            f"checkpoint leaf shapes differ at indices {bad}: "
+            f"{[shapes[i] for i in bad]}"
         )
     import jax.numpy as jnp
 

@@ -83,6 +83,54 @@ def run_split(args, seed):
         row["t_adam"] = time.time() - t0
         ld_a = model.predict_log_density(p_adam, (xte, yte))
         row["nlpd_adam"] = float(nlpd(ld_a))
+
+    if args.svgp_baseline:
+        # true SVGP with minibatch Adam — the reference's baseline model
+        # (reference electricity.py:115-116 uses gpflow.models.SVGP +
+        # run_adam with batch 100, 10k iters)
+        from asvgp_tpu.models.svgp import SVGP1D, fit_svgp
+
+        svgp = SVGP1D(Matern52(), basis, num_data=len(xtr))
+        t0 = time.time()
+        p_svgp, losses = fit_svgp(
+            svgp, xtr, ytr, svgp.init_params(),
+            batch_size=args.batch, steps=args.adam_steps,
+        )
+        jax.block_until_ready(losses)
+        row["t_svgp"] = time.time() - t0
+        t0 = time.time()
+        ld_s = svgp.predict_log_density(p_svgp, (xte, yte))
+        mean_s, _ = svgp.predict_f(p_svgp, xte)
+        jax.block_until_ready(mean_s)
+        row["t_svgp_pred"] = time.time() - t0
+        row["nlpd_svgp"] = float(nlpd(ld_s))
+        row["mse_svgp"] = float(mse(yte, mean_s))
+
+    if args.vff_baseline:
+        # VFF baseline (reference electricity.py:12-13,76-79 imports the
+        # external VFF package; here models/vff.py)
+        from asvgp_tpu.features.fourier import FourierBasis1D
+        from asvgp_tpu.models.vff import GPRVFF
+
+        fb = FourierBasis1D(0.0, 1.0, args.vff_frequencies)
+        t0 = time.time()
+        vff = GPRVFF((xtr, ytr), Matern52(), fb)
+        jax.block_until_ready(vff.kuf_y)
+        row["t_vff_precompute"] = time.time() - t0
+        t0 = time.time()
+        p_vff, loss_vff, _ = fit_lbfgs(
+            jax.jit(vff.training_loss), vff.init_params(), max_iters=args.iters
+        )
+        jax.block_until_ready(loss_vff)
+        row["t_vff_opt"] = time.time() - t0
+        t0 = time.time()
+        ld_v = vff.predict_log_density(p_vff, (xte, yte))
+        mean_v, _ = vff.predict_f(p_vff, xte)
+        jax.block_until_ready(mean_v)
+        row["t_vff_pred"] = time.time() - t0
+        row["elbo_vff"] = -float(loss_vff)
+        row["nlpd_vff"] = float(nlpd(ld_v))
+        row["mse_vff"] = float(mse(yte, mean_v))
     return row
 
 
@@ -94,6 +142,9 @@ def main():
     ap.add_argument("--splits", type=int, default=5)
     ap.add_argument("--iters", type=int, default=200)
     ap.add_argument("--adam-baseline", action="store_true")
+    ap.add_argument("--svgp-baseline", action="store_true")
+    ap.add_argument("--vff-baseline", action="store_true")
+    ap.add_argument("--vff-frequencies", type=int, default=100)
     ap.add_argument("--batch", type=int, default=4096)
     ap.add_argument("--adam-steps", type=int, default=2000)
     args = ap.parse_args()

@@ -39,7 +39,7 @@ _LOG2PI = math.log(2.0 * math.pi)
 
 class GPRAdditive:
     def __init__(self, data, kernels, bases, *, noise_variance=1.0,
-                 mesh=None, axis="data"):
+                 mesh=None, axis="data", backend=None):
         X, y = data
         X = jnp.asarray(X)
         y = jnp.asarray(y)
@@ -58,6 +58,10 @@ class GPRAdditive:
         self.nu2s = [k.nu2 for k in kernels]
         self.kernels_init = list(kernels)
         self.noise_variance_init = noise_variance
+        from asvgp_tpu.banded import ops as _bops
+
+        _bops.impl_scope(backend)  # validates the name eagerly
+        self.backend = backend
         self.D = len(bases)
         self._offsets = [0]
         for b in bases:
@@ -106,6 +110,12 @@ class GPRAdditive:
         return P
 
     def elbo(self, params):
+        from asvgp_tpu.banded import ops as _bops
+
+        with _bops.impl_scope(self.backend):
+            return self._elbo_inner(params)
+
+    def _elbo_inner(self, params):
         kernels, lik = self._build(params)
         sigma2 = lik.variance
         kuu_bands = [make_kuu(k, b) for k, b in zip(kernels, self.bases)]
@@ -150,6 +160,12 @@ class GPRAdditive:
     def predict_f(self, params, Xnew, full_cov: bool = False):
         if full_cov:
             raise NotImplementedError("full_cov prediction is not implemented")
+        from asvgp_tpu.banded import ops as _bops
+
+        with _bops.impl_scope(self.backend):
+            return self._predict_f_inner(params, Xnew)
+
+    def _predict_f_inner(self, params, Xnew):
         kernels, lik = self._build(params)
         sigma2 = lik.variance
         kuu_bands = [make_kuu(k, b) for k, b in zip(kernels, self.bases)]

@@ -173,7 +173,8 @@ class GPR1D:
     """
 
     def __init__(self, data, kernel: Matern, basis: BSplineBasis, *,
-                 noise_variance=1.0, mesh=None, axis="data", dtype=None):
+                 noise_variance=1.0, mesh=None, axis="data", dtype=None,
+                 backend=None):
         X, y = data
         X = jnp.asarray(X)
         y = jnp.asarray(y)
@@ -195,6 +196,12 @@ class GPR1D:
         self.nu2 = kernel.nu2
         self.kernel_init = kernel
         self.noise_variance_init = noise_variance
+        # explicit banded-op backend: overrides the ambient platform
+        # sniffing under ANY device context (banded/ops.py impl_scope)
+        from asvgp_tpu.banded import ops as _bops
+
+        _bops.impl_scope(backend)  # validates the name eagerly
+        self.backend = backend
         if mesh is not None:
             self.stats = compute_stats_sharded(basis, X, yf, mesh, axis)
         else:
@@ -218,10 +225,15 @@ class GPR1D:
 
     # ---- training objective ------------------------------------------------
     def elbo(self, params):
-        kernel, lik = self._build(params)
-        kuu = make_kuu(kernel, self.basis)
-        kdiag_sum = self.stats.n * kernel.variance  # Σ K_diag for Matérn
-        return collapsed_elbo_banded(self.stats, kuu, lik.variance, kdiag_sum)
+        from asvgp_tpu.banded import ops as _bops
+
+        with _bops.impl_scope(self.backend):
+            kernel, lik = self._build(params)
+            kuu = make_kuu(kernel, self.basis)
+            kdiag_sum = self.stats.n * kernel.variance  # Σ K_diag for Matérn
+            return collapsed_elbo_banded(
+                self.stats, kuu, lik.variance, kdiag_sum
+            )
 
     def maximum_log_likelihood_objective(self, params):
         return self.elbo(params)
@@ -231,17 +243,20 @@ class GPR1D:
 
     # ---- prediction ---------------------------------------------------------
     def _posterior_bands(self, params):
-        kernel, lik = self._build(params)
-        sigma2 = lik.variance
-        kuu = make_kuu(kernel, self.basis)
-        p_band = self.stats.kufkfu_band / sigma2 + kuu
-        # both Takahashi bands and the posterior mean weights come out of
-        # the same two fused sweeps used by the ELBO (pallas_ds_core.py)
-        kuu_inv_band, p_inv_band, u = banded.banded_posterior(
-            kuu, p_band, self.stats.kuf_y
-        )
-        w = u / sigma2
-        return kernel, w, p_inv_band - kuu_inv_band, p_inv_band, kuu_inv_band
+        from asvgp_tpu.banded import ops as _bops
+
+        with _bops.impl_scope(self.backend):
+            kernel, lik = self._build(params)
+            sigma2 = lik.variance
+            kuu = make_kuu(kernel, self.basis)
+            p_band = self.stats.kufkfu_band / sigma2 + kuu
+            # both Takahashi bands and the posterior mean weights come out of
+            # the same two fused sweeps used by the ELBO (pallas_ds_core.py)
+            kuu_inv_band, p_inv_band, u = banded.banded_posterior(
+                kuu, p_band, self.stats.kuf_y
+            )
+            w = u / sigma2
+            return kernel, w, p_inv_band - kuu_inv_band, p_inv_band, kuu_inv_band
 
     def posterior(self, params) -> Posterior1D:
         """Factor once, predict many: returns a cached posterior object."""

@@ -55,7 +55,7 @@ class GPRKron:
     """2-D ASVGP regression with tensor-product B-spline inducing features."""
 
     def __init__(self, data, kernels, bases, *, noise_variance=1.0,
-                 mesh=None, axis="data"):
+                 mesh=None, axis="data", backend=None):
         X, y = data
         X = jnp.asarray(X)
         y = jnp.asarray(y)
@@ -75,6 +75,10 @@ class GPRKron:
         self.nu2s = [k.nu2 for k in kernels]
         self.kernels_init = list(kernels)
         self.noise_variance_init = noise_variance
+        from asvgp_tpu.banded import ops as _bops
+
+        _bops.impl_scope(backend)  # validates the name eagerly
+        self.backend = backend
         yf = jnp.reshape(y, (-1,))
         if mesh is not None:
             self.stats = compute_kron_stats_sharded(self.bases, X, yf, mesh, axis)
@@ -121,6 +125,12 @@ class GPRKron:
         return t_band_to_blocks(self.stats.t_band, kuu_bands[0], kuu2_dense, sigma2)
 
     def elbo(self, params):
+        from asvgp_tpu.banded import ops as _bops
+
+        with _bops.impl_scope(self.backend):
+            return self._elbo_inner(params)
+
+    def _elbo_inner(self, params):
         kernels, lik = self._build(params)
         sigma2 = lik.variance
         m1, m2 = self.bases[0].m, self.bases[1].m
@@ -161,6 +171,12 @@ class GPRKron:
         """Factor once, predict many (mirrors GPR1D.posterior): the block-
         banded factorization, posterior mean weights and block-Takahashi
         band are computed once and cached in the returned object."""
+        from asvgp_tpu.banded import ops as _bops
+
+        with _bops.impl_scope(self.backend):
+            return self._posterior_inner(params)
+
+    def _posterior_inner(self, params) -> "PosteriorKron":
         kernels, lik = self._build(params)
         sigma2 = lik.variance
         m1, m2 = self.bases[0].m, self.bases[1].m

@@ -40,7 +40,7 @@ def shard_data(X, y, mesh, axis: str = "data"):
 
 
 def make_dp_train_step(basis, nu2: int, mesh, *, axis: str = "data",
-                       optimizer=None, num_data_total=None):
+                       optimizer=None, num_data_total=None, backend=None):
     """Build a jitted data-parallel training step.
 
     Returns ``(step, opt)`` where
@@ -83,13 +83,19 @@ def make_dp_train_step(basis, nu2: int, mesh, *, axis: str = "data",
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
 
-    def step_in_mesh(params, opt_state, x, y):
-        # default_device carries the mesh's platform into the banded-op
-        # backend dispatch (ops._target_platform)
+    # explicit backend threading (banded/ops.py impl_scope) replaces the
+    # old jax.default_device workaround: derive the backend from the mesh
+    # platform once, deterministically, instead of ambient sniffing
+    if backend is None:
         import numpy as _np
 
         dev0 = list(_np.asarray(mesh.devices).flat)[0]
-        with jax.set_mesh(mesh), jax.default_device(dev0):
+        backend = "scan" if dev0.platform == "cpu" else None
+
+    from asvgp_tpu.banded import ops as _bops
+
+    def step_in_mesh(params, opt_state, x, y):
+        with jax.set_mesh(mesh), _bops.impl_scope(backend):
             return step(params, opt_state, x, y)
 
     return step_in_mesh, opt

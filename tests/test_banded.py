@@ -178,3 +178,32 @@ def test_elbo_style_pipeline_jits():
         + np.sum(np.linalg.solve(Ln, np.asarray(y)) ** 2)
     )
     assert np.allclose(got, want, rtol=1e-10)
+
+
+def test_impl_scope_threads_backend():
+    """GPR1D(backend=...) must control dispatch regardless of ambient
+    device context (VERDICT r1 weak #7)."""
+    import numpy as np
+    from asvgp_tpu.banded import ops as bops
+    from asvgp_tpu.basis import B3Spline
+    from asvgp_tpu.models import GPR1D, Matern32
+
+    rng = np.random.RandomState(0)
+    x = rng.uniform(0.05, 0.95, 500)
+    y = np.sin(8 * x) + 0.1 * rng.randn(500)
+    basis = B3Spline(0.0, 1.0, 32)
+
+    with pytest.raises(ValueError):
+        GPR1D((x, y), Matern32(), basis, backend="nope")
+
+    m_scan = GPR1D((x, y), Matern32(), basis, backend="scan")
+    m_auto = GPR1D((x, y), Matern32(), basis)
+    p = m_scan.init_params()
+    # force the global impl to something else: the explicit backend wins
+    bops.set_impl("cr")
+    try:
+        l_scan = float(m_scan.training_loss(p))
+    finally:
+        bops.set_impl("auto")
+    l_auto = float(m_auto.training_loss(p))
+    np.testing.assert_allclose(l_scan, l_auto, rtol=1e-9)

@@ -111,7 +111,7 @@ def probe_big_vmem():
 def probe_slice_dot():
     def kern(a_ref, b_ref, o_ref):
         def body(i, acc):
-            blk = lax.dynamic_slice(a_ref[...], (i * 128, 0), (128, 128))
+            blk = a_ref[pl.dslice(i * 128, 128), :]
             return acc + jnp.dot(blk, b_ref[...],
                                  preferred_element_type=jnp.float32)
 
@@ -150,11 +150,12 @@ def probe_dyn_update():
 
 
 def probe_dyn_store():
-    """Dynamic sublane STORE to the output ref inside fori_loop."""
+    """Dynamic sublane STORE to the output ref inside fori_loop (input also
+    read via ref dynamic slice — value-level dynamic_slice doesn't lower)."""
 
     def kern(a_ref, o_ref):
         def body(i, _):
-            blk = lax.dynamic_slice(a_ref[...], (i * 8, 0), (8, 128))
+            blk = a_ref[pl.dslice(i * 8, 8), :]
             o_ref[pl.dslice(i * 8, 8), :] = blk * 3.0
             return 0
 
@@ -165,6 +166,123 @@ def probe_dyn_store():
         kern, out_shape=jax.ShapeDtypeStruct((32, 128), jnp.float32)
     )(a)
     err = float(np.max(np.abs(np.asarray(out) - 3 * np.asarray(a))))
+    return f"abs err {err:.2e}"
+
+
+def probe_scratch_carry():
+    """VMEM scratch ref as a rolling window: dynamic-slice write then
+    dynamic-slice read-back in a later fori iteration, feeding a dot."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    def kern(a_ref, o_ref, w_ref):
+        def body(i, acc):
+            blk = a_ref[pl.dslice(i * 128, 128), :]
+            w_ref[pl.dslice((i % 2) * 128, 128), :] = blk
+            prev = w_ref[pl.dslice(((i + 1) % 2) * 128, 128), :]
+            return acc + jnp.dot(prev, blk, preferred_element_type=jnp.float32)
+
+        o_ref[...] = lax.fori_loop(
+            1, 4, body, jnp.zeros((128, 128), jnp.float32)
+        )
+
+    def setup():
+        a = jnp.asarray(np.random.RandomState(0).randn(512, 128), jnp.float32)
+        out = pl.pallas_call(
+            kern,
+            out_shape=jax.ShapeDtypeStruct((128, 128), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((256, 128), jnp.float32)],
+        )(a)
+        an = np.asarray(a).reshape(4, 128, 128)
+        # i=1: w empty slot 1? i starts 1: writes slot1=a1, reads slot0 (junk!)
+        return out, an
+
+    # deterministic variant: prefill via first iteration starting at 0
+    def kern2(a_ref, o_ref, w_ref):
+        w_ref[pl.dslice(0, 128), :] = a_ref[pl.dslice(0, 128), :]
+
+        def body(i, acc):
+            blk = a_ref[pl.dslice(i * 128, 128), :]
+            prev = w_ref[pl.dslice(((i + 1) % 2) * 128, 128), :]
+            w_ref[pl.dslice((i % 2) * 128, 128), :] = blk
+            return acc + jnp.dot(prev, blk, preferred_element_type=jnp.float32)
+
+        o_ref[...] = lax.fori_loop(
+            1, 4, body, jnp.zeros((128, 128), jnp.float32)
+        )
+
+    a = jnp.asarray(np.random.RandomState(0).randn(512, 128), jnp.float32)
+    out = pl.pallas_call(
+        kern2,
+        out_shape=jax.ShapeDtypeStruct((128, 128), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((256, 128), jnp.float32)],
+    )(a)
+    an = np.asarray(a).reshape(4, 128, 128)
+    want = an[0] @ an[1] + an[1] @ an[2] + an[2] @ an[3]
+    err = float(np.max(np.abs(np.asarray(out) - want)) / np.max(np.abs(want)))
+    return f"rel err {err:.2e}"
+
+
+def probe_hbm_stream():
+    """Input left in ANY/HBM memory space, streamed into a VMEM scratch
+    block-by-block with make_async_copy inside fori_loop."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    def kern(a_ref, o_ref, buf_ref, sem):
+        def body(i, acc):
+            cp = pltpu.make_async_copy(
+                a_ref.at[pl.dslice(i * 128, 128), :], buf_ref, sem
+            )
+            cp.start()
+            cp.wait()
+            return acc + buf_ref[...]
+
+        o_ref[...] = lax.fori_loop(
+            0, 4, body, jnp.zeros((128, 128), jnp.float32)
+        )
+
+    a = jnp.asarray(np.random.RandomState(0).randn(512, 128), jnp.float32)
+    out = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((128, 128), jnp.float32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        scratch_shapes=[
+            pltpu.VMEM((128, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )(a)
+    want = np.asarray(a).reshape(4, 128, 128).sum(0)
+    err = float(np.max(np.abs(np.asarray(out) - want)))
+    return f"abs err {err:.2e}"
+
+
+def probe_hbm_store():
+    """Output left in ANY/HBM, written back block-by-block from VMEM
+    scratch with make_async_copy (the reverse direction)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    def kern(a_ref, o_ref, buf_ref, sem):
+        def body(i, _):
+            buf_ref[...] = a_ref[pl.dslice(i * 128, 128), :] * 2.0
+            cp = pltpu.make_async_copy(
+                buf_ref, o_ref.at[pl.dslice(i * 128, 128), :], sem
+            )
+            cp.start()
+            cp.wait()
+            return 0
+
+        lax.fori_loop(0, 4, body, 0)
+
+    a = jnp.asarray(np.random.RandomState(0).randn(512, 128), jnp.float32)
+    out = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((512, 128), jnp.float32),
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((128, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )(a)
+    err = float(np.max(np.abs(np.asarray(out) - 2 * np.asarray(a))))
     return f"abs err {err:.2e}"
 
 
@@ -351,6 +469,9 @@ if __name__ == "__main__":
         ("slice_then_dot", probe_slice_dot),
         ("dyn_update_carry", probe_dyn_update),
         ("dyn_store_out", probe_dyn_store),
+        ("scratch_carry", probe_scratch_carry),
+        ("hbm_stream", probe_hbm_stream),
+        ("hbm_store", probe_hbm_store),
         ("transpose2d", probe_transpose2d),
         ("bitcast_scale", probe_bitcast_scale),
         ("round", probe_round),

@@ -428,6 +428,185 @@ def takahashi_bwd_vec_ds(l_band64, s_band64, cot64, iv64):
 
 
 # ===========================================================================
+# Takahashi adjoint, pair-width (dead lane): identical recursion to
+# _tak_bwd_vec_kernel but operating on (k+1, 2)-wide register slices in the
+# lane-interleaved pair layout, with the second lane dead (zeros).  The
+# narrow (k+1, 1) ops are the vec kernel's bottleneck (measured: the pair
+# Cholesky adjoint with a dead lane beats the single kernel 5.7 vs 8.0 ms);
+# this applies the same trick to the Takahashi adjoint.  Every "pair
+# scalar" operand is scalarized to its lane-0 value (SREG broadcast is
+# lane-offset-agnostic), which avoids the Mosaic 'vector.broadcast of a
+# (1, 2) slice carrying lane offset 128' rejection that blocked the
+# round-1 attempt; the dead lane then just computes lane-0's numbers,
+# which is harmless — the kernel contains no divides, so no inf/NaN.
+# ===========================================================================
+
+
+def _tak_bwd_pair_kernel(lh_ref, ll_ref, sh_ref, sl_ref, snh_ref, snl_ref,
+                         cth_ref, ctl_ref, ivh_ref, ivl_ref, mask_ref,
+                         oh_ref, ol_ref):
+    nt, kp1, _ = lh_ref.shape
+    k = kp1 - 1
+    f32 = jnp.float32
+    import numpy as np
+    from jax.experimental.pallas import tpu as pltpu
+
+    e0 = _row0(k, f32)
+
+    def _sum_rows2(h, l, lo, hi):
+        """Sequential DS sum of rows lo..hi-1 of a (r, 2) pair → lane-0
+        scalars."""
+        ah, al = h[lo:lo + 1, :], l[lo:lo + 1, :]
+        for r in range(lo + 1, hi):
+            ah, al = ds.add(ah, al, h[r:r + 1, :], l[r:r + 1, :])
+        return ah[0, 0], al[0, 0]
+
+    def tile_body(t, Q):
+        lth, ltl = lh_ref[t], ll_ref[t]
+        sth, stl = sh_ref[t], sl_ref[t]
+        snh, snl = snh_ref[t], snl_ref[t]
+        cth, ctl = cth_ref[t], ctl_ref[t]
+        ivh, ivl = ivh_ref[t], ivl_ref[t]  # (1, TILE), single width
+        msk = mask_ref[t]
+        colsh, colsl = [], []
+        for j in range(TILE):
+            lch, lcl = lth[:, 2 * j:2 * j + 2], ltl[:, 2 * j:2 * j + 2]
+            sch, scl = sth[:, 2 * j:2 * j + 2], stl[:, 2 * j:2 * j + 2]
+            dh, dl = ivh[0, j], ivl[0, j]
+            l0h, l0l = lch[0, 0], lcl[0, 0]
+
+            # CS columns j+1..j+k, (k+1, 2) each
+            csh, csl = [], []
+            for p in range(1, k + 1):
+                if j + p < TILE:
+                    csh.append(sth[:, 2 * (j + p):2 * (j + p) + 2])
+                    csl.append(stl[:, 2 * (j + p):2 * (j + p) + 2])
+                else:
+                    q = j + p - TILE
+                    csh.append(snh[:, 2 * q:2 * q + 2])
+                    csl.append(snl[:, 2 * q:2 * q + 2])
+
+            mj = msk[:, 2 * j:2 * j + 2]
+            q0h, q0l = Q[0]
+            cbh, cbl = ds.add(cth[:, 2 * j:2 * j + 2],
+                              ctl[:, 2 * j:2 * j + 2], q0h, q0l)
+            cbh = cbh * mj
+            cbl = cbl * mj
+            sjbh, sjbl = cbh[0, 0], cbl[0, 0]
+
+            ne0 = 1.0 - e0
+            wvh, wvl = lch * ne0, lcl * ne0      # rows 1..k: L[j+q, j]
+            svh, svl = sch * ne0, scl * ne0      # rows 1..k: S[j+q, j]
+            sbh_, sbl_ = cbh * ne0, cbl * ne0    # rows 1..k: s̄ seed
+
+            # t_q = -s_q l0 (vector × scalar)
+            tvh, tvl = ds.mul(svh, svl, l0h, l0l)
+            tvh, tvl = -tvh, -tvl
+            # ws = Σ w s
+            ph_, pl_ = ds.mul(wvh, wvl, svh, svl)
+            wsh, wsl = _sum_rows2(ph_, pl_, 1, k + 1)
+            # m1 = d·sjb ; d̄ = 2 m1 − ws·sjb   (all scalars)
+            m1h, m1l = ds.mul(dh, dl, sjbh, sjbl)
+            t2h, t2l = ds.mul(wsh, wsl, sjbh, sjbl)
+            dbh, dbl = ds.sub(m1h + m1h, m1l + m1l, t2h, t2l)
+            # w̄ = −m1 s ; s̄ −= m1 w
+            wbh, wbl = ds.mul(svh, svl, m1h, m1l)
+            wbh, wbl = -wbh, -wbl
+            u1h, u1l = ds.mul(wvh, wvl, m1h, m1l)
+            sbh_, sbl_ = ds.sub(sbh_, sbl_, u1h, u1l)
+            # d̄ −= Σ s̄ t ; t̄ = −d s̄
+            ph_, pl_ = ds.mul(sbh_, sbl_, tvh, tvl)
+            u2h, u2l = _sum_rows2(ph_, pl_, 1, k + 1)
+            dbh, dbl = ds.sub(dbh, dbl, u2h, u2l)
+            tbh, tbl = ds.mul(sbh_, sbl_, dh, dl)
+            tbh, tbl = -tbh, -tbl
+
+            # ---- M products, vectorized ------------------------------
+            lcolh, lcoll = [], []
+            for p in range(1, k + 1):
+                gm = _mask_ge(k + 1, np.int32(p), f32)
+                ch_ = pltpu.roll(csh[p - 1], np.int32(p), 0) * gm
+                cl_ = pltpu.roll(csl[p - 1], np.int32(p), 0) * gm
+                lcolh.append(ch_)
+                lcoll.append(cl_)
+            # V1[q] = Σ_{p<=q} M[q,p] t̄_p
+            v1h = jnp.zeros((k + 1, 2), f32)
+            v1l = jnp.zeros((k + 1, 2), f32)
+            for p in range(1, k + 1):
+                uh_, ul_ = ds.mul(lcolh[p - 1], lcoll[p - 1],
+                                  tbh[p, 0], tbl[p, 0])
+                v1h, v1l = ds.add(v1h, v1l, uh_, ul_)
+            # U_q = Σ_{p>q} M[q,p] t̄_p = Σ_{p>q} Lcol_q[p] t̄_p
+            for q in range(1, k):
+                gm = _mask_ge(k + 1, np.int32(q + 1), f32)
+                uh_, ul_ = ds.mul(lcolh[q - 1] * gm, lcoll[q - 1] * gm,
+                                  tbh, tbl)
+                uqh, uql = _sum_rows2(uh_, ul_, q + 1, k + 1)
+                eq = _mask_eq(k + 1, np.int32(q), f32)
+                v1h, v1l = ds.add(v1h, v1l, eq * uqh, eq * uql)
+            wbh, wbl = ds.add(wbh, wbl, v1h, v1l)
+
+            # l̄0 = −d̄ d² ; col = e0·l̄0 + w̄
+            d2h, d2l = ds.mul(dh, dl, dh, dl)
+            l0bh, l0bl = ds.mul(dbh, dbl, d2h, d2l)
+            colh = e0 * (-l0bh) + wbh * ne0
+            coll = e0 * (-l0bl) + wbl * ne0
+            colsh.append(colh)
+            colsl.append(coll)
+
+            # ---- CS̄ columns and Q update ------------------------------
+            zc = jnp.zeros((k + 1, 2), f32)
+            newQ = []
+            for c in range(k):
+                lim = _mask_le(k + 1, np.int32(k - 1 - c), f32)
+                sh_c = np.int32(k - c)
+                ath = pltpu.roll(tbh, sh_c, 0) * lim
+                atl = pltpu.roll(tbl, sh_c, 0) * lim
+                awh = pltpu.roll(wvh, sh_c, 0) * lim
+                awl = pltpu.roll(wvl, sh_c, 0) * lim
+                c1h, c1l = ds.mul(ath, atl, wvh[c + 1, 0], wvl[c + 1, 0])
+                c2h, c2l = ds.mul(awh, awl, tbh[c + 1, 0], tbl[c + 1, 0])
+                c2h = c2h * ne0
+                c2l = c2l * ne0
+                cbarh, cbarl = ds.add(c1h, c1l, c2h, c2l)
+                prevh, prevl = Q[c + 1] if c + 1 < k else (zc, zc)
+                newQ.append(ds.add(prevh, prevl, cbarh, cbarl))
+            Q = tuple(newQ)
+        oh_ref[t] = jnp.concatenate(colsh, axis=1)
+        ol_ref[t] = jnp.concatenate(colsl, axis=1)
+        return Q
+
+    zc0 = jnp.zeros((k + 1, 2), jnp.float32)
+    lax.fori_loop(0, nt, tile_body, tuple((zc0, zc0) for _ in range(k)))
+
+
+def takahashi_bwd_pair_ds(l_band64, s_band64, cot64, iv64):
+    """Pair-width (dead-lane) L̄ from the Takahashi adjoint; iv64 =
+    reciprocal diagonal of L (from kernel A), so the kernel is
+    divide-free."""
+    k = l_band64.shape[0] - 1
+    m = l_band64.shape[1]
+    from asvgp_tpu.banded.pallas_ds import _split_tiles
+    from asvgp_tpu.banded.pallas_kernels import _next_tiles
+
+    zero = jnp.zeros_like(l_band64)
+    lh3, ll3, _, nt = _pair_tiles(l_band64, zero, m, diag_value=1.0)
+    sh3, sl3, _, _ = _pair_tiles(s_band64, zero, m, diag_value=1.0)
+    ch3, cl3, _, _ = _pair_tiles(cot64, zero, m)
+    ivh3, ivl3 = _split_tiles(iv64[None, :], m, diag_value=1.0)
+    mask = _pair_mask_tiles(k, m, nt)
+    oh, ol = _call2(
+        _tak_bwd_pair_kernel,
+        (jax.ShapeDtypeStruct(lh3.shape, jnp.float32),) * 2,
+        lh3, ll3, sh3, sl3,
+        _next_tiles(sh3), _next_tiles(sl3),
+        ch3, cl3, ivh3, ivl3, mask,
+    )
+    l_bar, _ = _from_pair_tiles(oh, ol, m)
+    return l_bar
+
+
+# ===========================================================================
 # XLA-side wrappers
 # ===========================================================================
 

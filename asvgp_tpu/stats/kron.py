@@ -160,13 +160,17 @@ def t_band_to_blocks(t_band, kuu1_band, kuu2_dense, sigma2):
     dtype = t_band.dtype
 
     blocks = jnp.einsum("pj,ab->pjab", kuu1_band, kuu2_dense)
-    # embed T/σ² into the (j2+o2, j2) diagonals of each block
-    tblocks = jnp.zeros((k1 + 1, m1, m2, m2), dtype)
-    for o2 in range(-k2, k2 + 1):
-        rows = jnp.arange(max(0, o2), m2 + min(0, o2))  # i2 = j2 + o2
-        cols = rows - o2                                 # j2
-        # [slice, slice, adv, adv]: advanced dims stay in place -> (k1+1, m1, len)
-        tblocks = tblocks.at[:, :, rows, cols].add(t_band[:, o2 + k2][:, :, cols])
+    # embed T/σ² into the (j2+o2, j2) diagonals of each block.  Scatter-free:
+    # contract against a static 0/1 diagonal-placement mask (scatters are
+    # slow on TPU and their VJPs are gathers XLA struggles to fuse);
+    # M[o2+k2, a, b] = 1 iff a-b == o2, so
+    # tblocks[p, j1, a, b] = Σ_o M[o, a, b] · t_band[p, o, j1, b].
+    a_i = jnp.arange(m2)[:, None]
+    b_i = jnp.arange(m2)[None, :]
+    diag_mask = (
+        (a_i - b_i)[None, :, :] == jnp.arange(-k2, k2 + 1)[:, None, None]
+    ).astype(dtype)
+    tblocks = jnp.einsum("oab,pojb->pjab", diag_mask, t_band)
     blocks = blocks + tblocks / sigma2
     # zero out-of-range block rows (i1 = J + p >= m1)
     mask = (

@@ -176,7 +176,7 @@ class GPRKron:
         with _bops.impl_scope(self.backend):
             return self._posterior_inner(params)
 
-    def _posterior_inner(self, params) -> "PosteriorKron":
+    def _posterior_arrays(self, params, t_band, kuf_y):
         kernels, lik = self._build(params)
         sigma2 = lik.variance
         m1, m2 = self.bases[0].m, self.bases[1].m
@@ -185,12 +185,29 @@ class GPRKron:
         l_bands = [banded.cholesky_band(kb) for kb in kuu_bands]
         s_bands = [banded.takahashi_inverse_band(lb) for lb in l_bands]
 
-        p_blocks = self._p_blocks(kuu_bands, sigma2)
+        kuu2_dense = banded.band_to_dense(
+            banded.symmetrise_lower_band(kuu_bands[1]),
+            self.bases[1].order,
+            self.bases[1].order,
+        )
+        p_blocks = t_band_to_blocks(t_band, kuu_bands[0], kuu2_dense, sigma2)
         l_p = block.cholesky_block_banded(p_blocks)
-        w = block.cholesky_solve_block_banded(l_p, self.stats.kuf_y) / sigma2
+        w = block.cholesky_solve_block_banded(l_p, kuf_y) / sigma2
         w_grid = w.reshape(m1, m2)
         sp = block.takahashi_inverse_block_banded(l_p)  # (k1+1, m1, m2, m2)
-        return PosteriorKron(kernels, lik, self.bases, w_grid, sp, s_bands)
+        return w_grid, sp, s_bands[0], s_bands[1]
+
+    def _posterior_inner(self, params) -> "PosteriorKron":
+        kernels, lik = self._build(params)
+        # jit with the sufficient statistics as ARGUMENTS (not closure
+        # constants): keeps the persistent-compile-cache key independent of
+        # the data values and the executable free of embedded MB constants
+        if not hasattr(self, "_post_jit"):
+            self._post_jit = jax.jit(self._posterior_arrays)
+        w_grid, sp, s0, s1 = self._post_jit(
+            params, self.stats.t_band, self.stats.kuf_y
+        )
+        return PosteriorKron(kernels, lik, self.bases, w_grid, sp, (s0, s1))
 
     def predict_f(self, params, Xnew, full_cov: bool = False):
         return self.posterior(params).predict_f(Xnew, full_cov=full_cov)
@@ -227,11 +244,22 @@ class PosteriorKron:
     def predict_f(self, Xnew, full_cov: bool = False):
         if full_cov:
             raise NotImplementedError("full_cov prediction is not implemented")
+        # jit over the posterior arrays as arguments (stable cache key, no
+        # embedded constants); the basis tables closed over are small and
+        # value-stable
+        if not hasattr(self, "_predict_jit"):
+            self._predict_jit = jax.jit(self._predict_arrays)
+        return self._predict_jit(
+            jnp.asarray(Xnew), self.w_grid, self.sp,
+            self.s_bands[0], self.s_bands[1],
+            self.kernels[0].variance * self.kernels[1].variance,
+        )
+
+    def _predict_arrays(self, x, w_grid, sp, s_band0, s_band1, kdiag):
         b1, b2 = self.bases
         k1, k2 = b1.order, b2.order
-        w_grid, sp, s_bands = self.w_grid, self.sp, self.s_bands
+        s_bands = (s_band0, s_band1)
 
-        x = jnp.asarray(Xnew)
         v1, c1 = b1.evaluate_basis(x[:, 0], dx=0)
         v2, c2 = b2.evaluate_basis(x[:, 1], dx=0)
         n = v1.shape[0]
@@ -263,7 +291,6 @@ class PosteriorKron:
         q1 = window_quadratic_form(s_bands[0], v1, c1)
         q2 = window_quadratic_form(s_bands[1], v2, c2)
 
-        kdiag = self.kernels[0].variance * self.kernels[1].variance
         var = kdiag + quad_p - q1 * q2
         return mean[:, None], var[:, None]
 

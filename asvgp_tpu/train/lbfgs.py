@@ -21,34 +21,52 @@ import optax.tree_utils as otu
 def fit_lbfgs(loss_fn, params, *, max_iters: int = 500, tol: float = 1e-8,
               memory_size: int = 20):
     """Minimize ``loss_fn`` over the ``params`` pytree with L-BFGS + zoom
-    line search.  Returns (params, final_loss, num_iters)."""
+    line search.  Returns (params, final_loss, num_iters).
+
+    ``loss_fn``'s closed-over arrays (model sufficient statistics — MBs at
+    the eNATL scale) are hoisted into runtime arguments with
+    ``jax.closure_convert`` before jitting: otherwise they are embedded in
+    the HLO as literal constants, which bloats the executable (176 MB
+    observed), slows compilation, and makes the persistent-compile-cache
+    key depend on the data values so no two runs ever share a cache entry.
+    """
     opt = optax.lbfgs(
         memory_size=memory_size,
         linesearch=optax.scale_by_zoom_linesearch(max_linesearch_steps=30),
     )
-    value_and_grad = optax.value_and_grad_from_state(loss_fn)
 
-    def step(carry):
-        params, state = carry
-        value, grad = value_and_grad(params, state=state)
-        updates, state = opt.update(
-            grad, state, params, value=value, grad=grad, value_fn=loss_fn
-        )
-        params = optax.apply_updates(params, updates)
-        return params, state
-
-    def continuing(carry):
-        _, state = carry
-        count = otu.tree_get(state, "count")
-        grad = otu.tree_get(state, "grad")
-        err = otu.tree_norm(grad)
-        return (count == 0) | ((count < max_iters) & (err >= tol))
+    closed_fn, consts = jax.closure_convert(loss_fn, params)
 
     @jax.jit
-    def run(params):
+    def run(params, consts):
+        def loss(p):
+            return closed_fn(p, *consts)
+
+        value_and_grad = optax.value_and_grad_from_state(loss)
+
+        def step(carry):
+            params, state = carry
+            value, grad = value_and_grad(params, state=state)
+            updates, state = opt.update(
+                grad, state, params, value=value, grad=grad, value_fn=loss
+            )
+            params = optax.apply_updates(params, updates)
+            return params, state
+
+        def continuing(carry):
+            _, state = carry
+            count = otu.tree_get(state, "count")
+            grad = otu.tree_get(state, "grad")
+            err = otu.tree_norm(grad)
+            return (count == 0) | ((count < max_iters) & (err >= tol))
+
         state = opt.init(params)
         params, state = jax.lax.while_loop(continuing, step, (params, state))
-        return params, otu.tree_get(state, "count")
+        return (
+            params,
+            otu.tree_get(state, "count"),
+            loss(params),
+        )
 
-    params, iters = run(params)
-    return params, loss_fn(params), iters
+    params, iters, final_loss = run(params, consts)
+    return params, final_loss, iters

@@ -51,7 +51,7 @@ def make_data():
     return x, y
 
 
-def build(device):
+def build(device, rebuild_warm=True):
     from asvgp_tpu.basis import B3Spline
     from asvgp_tpu.models import GPR1D, Matern32
 
@@ -66,13 +66,27 @@ def build(device):
         )
         jax.block_until_ready(model.stats.kuf_y)
         t_pre = time.time() - t0
+        # warm precompute: second construction hits the in-process jit cache
+        # — this is the steady-state cost (round-1 artifact conflated a
+        # cold remote-tunnel compile into precompute_s; VERDICT weak #5)
+        t_pre_warm = t_pre
+        if rebuild_warm:
+            t0 = time.time()
+            model = GPR1D(
+                (jnp.asarray(x), jnp.asarray(y)),
+                Matern32(variance=1.0, lengthscales=1e-3),
+                B3Spline(0.0, 1.0, M),
+                noise_variance=0.1,
+            )
+            jax.block_until_ready(model.stats.kuf_y)
+            t_pre_warm = time.time() - t0
         params = jax.tree.map(
             lambda a: jax.device_put(a, device), model.init_params()
         )
         model.stats = jax.tree.map(
             lambda a: jax.device_put(a, device), model.stats
         )
-    return model, params, t_pre
+    return model, params, (t_pre, t_pre_warm)
 
 
 K_STEPS = 10
@@ -122,12 +136,18 @@ def time_step(model, params, device, reps=5):
 
 
 def main():
+    import os
+
     dev = jax.devices()[0]
-    model, params, t_pre = build(dev)
+    model, params, (t_pre_cold, t_pre_warm) = build(dev)
     step_s, t_compile, val = time_step(model, params, dev)
 
+    # the CPU comparison leg runs on THIS host (1 core in the build image):
+    # record ambient load so a contended number is identifiable
+    # (CLAUDE.md: 61-162 ms observed depending on load)
+    load1 = os.getloadavg()[0]
     cpu = jax.devices("cpu")[0]
-    model_cpu, params_cpu, _ = build(cpu)
+    model_cpu, params_cpu, _ = build(cpu, rebuild_warm=False)
     cpu_s, _, cpu_val = time_step(model_cpu, params_cpu, cpu, reps=2)
 
     print(
@@ -139,10 +159,12 @@ def main():
                 "vs_baseline": round(cpu_s / step_s, 3),
                 "extras": {
                     "device": str(dev),
-                    "precompute_s": round(t_pre, 3),
+                    "precompute_s": round(t_pre_cold, 3),
+                    "precompute_warm_s": round(t_pre_warm, 3),
                     "compile_s": round(t_compile, 1),
                     "loss": val,
                     "cpu_f64_step_ms": round(cpu_s * 1000, 3),
+                    "cpu_loadavg_before": round(load1, 2),
                     "loss_rel_err_vs_f64": abs(val - cpu_val) / abs(cpu_val),
                 },
             }

@@ -64,6 +64,8 @@ def main():
     ap.add_argument("--iters", type=int, default=100)
     ap.add_argument("--mesh", type=int, default=0, help="data-parallel devices")
     ap.add_argument("--data", type=str, default=None)
+    ap.add_argument("--out", type=str, default=None,
+                    help="write a JSON metrics artifact here")
     args = ap.parse_args()
 
     if args.data:
@@ -98,14 +100,39 @@ def main():
           f"(ELBO={-float(loss):.2f}, {int(iters)} iters)")
 
     with clock.section("predict"):
-        mean, var = model.predict_f(params, jnp.asarray(Xte))
-        ld = model.predict_log_density(params, (Xte, yte))
+        # factor once, predict many: posterior() caches the block
+        # factorization + Takahashi band; both metrics reuse it
+        post = model.posterior(params)
+        mean, var = post.predict_f(jnp.asarray(Xte))
+        ld = post.predict_log_density((Xte, yte))
         jax.block_until_ready(mean)
     print(f"predict: {clock.times['predict']:.1f}s ({args.n_test} points)")
 
     print(f"MSE = {float(mse(yte, mean)):.6f}")
     print(f"NLL = {float(nlpd(ld)):.6f}")
     print("timings:", {k: round(v, 2) for k, v in clock.summary().items()})
+    if args.out:
+        import json
+
+        with open(args.out, "w") as f:
+            json.dump(
+                {
+                    "n_train": len(ytr),
+                    "n_test": args.n_test,
+                    "features": args.m ** 2,
+                    "order": args.order,
+                    "device": str(jax.devices()[0]),
+                    "elbo": -float(loss),
+                    "iters": int(iters),
+                    "mse": float(mse(yte, mean)),
+                    "nll": float(nlpd(ld)),
+                    "timings_s": {
+                        k: round(v, 2) for k, v in clock.summary().items()
+                    },
+                },
+                f,
+                indent=1,
+            )
 
 
 if __name__ == "__main__":

@@ -1,0 +1,126 @@
+"""North-star protocol run: time-to-matched-NLPD at N=1e6, m=10^4.
+
+BASELINE.md's target metric is "ELBO step time + time-to-matched-NLPD at
+1M points, 10k features" (reference protocol shape: electricity.py's
+opt-time/NLPD table).  bench.py covers step time; this script covers the
+rest: train the north-star config to convergence with on-device L-BFGS on
+the TPU AND on the CPU float64 scan path (stand-in for the reference's
+C++-ops implementation, which cannot run in this image), evaluate NLPD and
+MSE on a held-out 5% split with each, and record wall-clock per phase.
+"Matched" = the TPU NLPD agrees with the CPU-f64 NLPD to ~1e-6.
+
+Writes NORTHSTAR.json at the repo root.
+Run (TPU relay free): PYTHONPATH=/root/repo python tools/northstar_run.py
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
+os.makedirs("/tmp/asvgp_jax_cache", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", "/tmp/asvgp_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+import jax.numpy as jnp  # noqa: E402
+
+N = 1_000_000
+M = 10_000
+SEED = 0
+MAX_ITERS = 200
+
+
+def make_data():
+    # bench.py's north-star data: ~700 effective periods so m=10^4 is
+    # genuinely exercised and kappa(Kuu) stays in the DS kernels' range
+    rng = np.random.RandomState(SEED)
+    x = rng.uniform(0.005, 0.995, N)
+    y = np.sin(4400.0 * x) + 0.5 * np.sin(1100.0 * x) + 0.3 * rng.randn(N)
+    n_test = N // 20  # 95/5 (reference protocol electricity.py)
+    return (x[n_test:], y[n_test:]), (x[:n_test], y[:n_test])
+
+
+def run_leg(device, train, test):
+    from asvgp_tpu.basis import B3Spline
+    from asvgp_tpu.models import GPR1D, Matern32
+    from asvgp_tpu.train import fit_lbfgs, mse, nlpd
+
+    (xtr, ytr), (xte, yte) = train, test
+    with jax.default_device(device):
+        t0 = time.time()
+        model = GPR1D(
+            (jnp.asarray(xtr), jnp.asarray(ytr)),
+            Matern32(variance=1.0, lengthscales=1e-3),
+            B3Spline(0.0, 1.0, M),
+            noise_variance=0.1,
+        )
+        jax.block_until_ready(model.stats.kuf_y)
+        t_pre = time.time() - t0
+
+        t0 = time.time()
+        params, loss, iters = fit_lbfgs(
+            jax.jit(model.training_loss), model.init_params(),
+            max_iters=MAX_ITERS,
+        )
+        jax.block_until_ready(loss)
+        t_opt = time.time() - t0
+
+        t0 = time.time()
+        post = model.posterior(params)
+        ld = post.predict_log_density((jnp.asarray(xte), jnp.asarray(yte)))
+        mean, _ = post.predict_f(jnp.asarray(xte))
+        jax.block_until_ready(mean)
+        t_pred = time.time() - t0
+
+    return {
+        "device": str(device),
+        "elbo": -float(loss),
+        "iters": int(iters),
+        "nlpd": float(nlpd(ld)),
+        "mse": float(mse(np.asarray(yte), np.asarray(mean))),
+        "t_precompute_s": round(t_pre, 2),
+        "t_opt_s": round(t_opt, 2),
+        "t_pred_s": round(t_pred, 2),
+    }
+
+
+def main():
+    train, test = make_data()
+    tpu = jax.devices()[0]
+    cpu = jax.devices("cpu")[0]
+
+    print("TPU leg...", flush=True)
+    res_tpu = run_leg(tpu, train, test)
+    print(json.dumps(res_tpu), flush=True)
+    print("CPU f64 leg... (loadavg %.2f)" % os.getloadavg()[0], flush=True)
+    res_cpu = run_leg(cpu, train, test)
+    print(json.dumps(res_cpu), flush=True)
+
+    out = {
+        "config": {"n": N, "m": M, "split": "95/5", "max_iters": MAX_ITERS},
+        "tpu": res_tpu,
+        "cpu_f64": res_cpu,
+        "nlpd_abs_diff": abs(res_tpu["nlpd"] - res_cpu["nlpd"]),
+        "elbo_rel_diff": abs(res_tpu["elbo"] - res_cpu["elbo"])
+        / abs(res_cpu["elbo"]),
+        "time_to_nlpd_tpu_s": round(
+            res_tpu["t_precompute_s"] + res_tpu["t_opt_s"], 2
+        ),
+        "time_to_nlpd_cpu_s": round(
+            res_cpu["t_precompute_s"] + res_cpu["t_opt_s"], 2
+        ),
+        "cpu_loadavg": round(os.getloadavg()[0], 2),
+    }
+    out["nlpd_matched_1e6"] = bool(out["nlpd_abs_diff"] < 1e-6)
+    path = os.path.join(os.path.dirname(__file__), "..", "NORTHSTAR.json")
+    with open(os.path.abspath(path), "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

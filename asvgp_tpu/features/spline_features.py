@@ -36,6 +36,22 @@ _SQRT5 = math.sqrt(5.0)
 MIN_ORDER = {"matern12": 1, "matern32": 2, "matern52": 3}
 
 
+def validate_kernel_basis(kernel, basis: BSplineBasis) -> None:
+    """Raise eagerly if (kernel, basis) is outside the capability matrix
+    (SURVEY.md §7.4): the Matérn-ν RKHS norm needs basis derivatives up to
+    order ν+1/2, so matern12/32/52 need spline order >= 1/2/3.  Called by
+    every model constructor so the failure happens before any precompute,
+    not at the first ELBO evaluation."""
+    name = getattr(kernel, "name", None)
+    if name not in MIN_ORDER:
+        raise TypeError(f"unsupported kernel for spline features: {name}")
+    if basis.order < MIN_ORDER[name]:
+        raise ValueError(
+            f"{name} requires spline order >= {MIN_ORDER[name]}, "
+            f"got order {basis.order}"
+        )
+
+
 def make_kuu(kernel, basis: BSplineBasis) -> jnp.ndarray:
     """Banded (order+1, m) Kuu Gram matrix for a Matérn kernel.
 

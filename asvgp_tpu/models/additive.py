@@ -54,6 +54,10 @@ class GPRAdditive:
                     f"dim {d}: inputs must lie strictly inside "
                     f"[{basis.a}, {basis.b}], got [{lo}, {hi}]"
                 )
+        from asvgp_tpu.features.spline_features import validate_kernel_basis
+
+        for k, b in zip(kernels, bases):
+            validate_kernel_basis(k, b)
         self.bases = list(bases)
         self.nu2s = [k.nu2 for k in kernels]
         self.kernels_init = list(kernels)

@@ -192,6 +192,9 @@ class GPR1D:
                 f"all inputs must lie strictly inside [{basis.a}, {basis.b}], "
                 f"got range [{xmin}, {xmax}]"
             )
+        from asvgp_tpu.features.spline_features import validate_kernel_basis
+
+        validate_kernel_basis(kernel, basis)
         self.basis = basis
         self.nu2 = kernel.nu2
         self.kernel_init = kernel

@@ -36,9 +36,10 @@ def test_kernel_order_combination(name, order):
     kernel = KERNELS[name](variance=0.9, lengthscales=0.8)
     basis = BSplineBasis(-3.5, 10.5, 30, order)
     if order < MIN_ORDER[name]:
+        # must raise AT CONSTRUCTION, before any precompute (verify-skill
+        # regression: the check used to fire only at the first ELBO eval)
         with pytest.raises(ValueError, match="requires spline order"):
-            model = GPR1D((X, y), kernel, basis, noise_variance=0.2)
-            model.elbo(model.init_params())
+            GPR1D((X, y), kernel, basis, noise_variance=0.2)
         return
     model = GPR1D((X, y), kernel, basis, noise_variance=0.2)
     elbo = float(model.elbo(model.init_params()))

@@ -10,6 +10,9 @@ single whole-matrix Pallas kernels.
 Run on the TPU (relay free):  python tools/block_phase_probe.py
 """
 
+import sys as _sys, os as _os
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import json
 import os
 import time

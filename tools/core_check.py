@@ -6,6 +6,9 @@ but take tens of minutes on this 1-core host; the real TPU runs in seconds
 once compiled.  Run: python tools/core_check.py
 """
 
+import sys as _sys, os as _os
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import numpy as np
 
 import jax

@@ -5,6 +5,9 @@ amortized speed at the north-star size (m=10⁴, k=3).
 Run: python tools/cr_probe.py
 """
 
+import sys as _sys, os as _os
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import time
 
 import numpy as np

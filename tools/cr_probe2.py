@@ -2,6 +2,9 @@
 cr_solve separately at m=10^4 to find where the remote compiler struggles.
 """
 
+import sys as _sys, os as _os
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import time
 
 import numpy as np

@@ -1,6 +1,9 @@
 """CR-on-TPU probe 3: amortized (chained) timings for the solve fix and the
 FULL collapsed-core value+grad (second-order through the trace term)."""
 
+import sys as _sys, os as _os
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import time
 
 import numpy as np

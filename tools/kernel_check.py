@@ -8,8 +8,11 @@ core (values + all four closed-form band gradients) and the block-banded
 DS ops at eNATL block shape (W=4, nb=25, B=100 — reduced nb to bound the
 CPU-f64 reference time on this 1-core host; same per-step math).
 
-Run (TPU relay free): PYTHONPATH=/root/repo python tools/kernel_check.py
+Run (TPU relay free): python tools/kernel_check.py
 """
+
+import sys as _sys, os as _os
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
 import json
 import os

@@ -6,8 +6,11 @@ B=100), yet the whole model step measured ~1.3s at the SMALLER m=40²
 (kron_tpu_probe).  This probe splits the model ELBO into its phases to
 find where the rest of the time goes.
 
-Run on the TPU (relay free): PYTHONPATH=/root/repo python tools/kron_elbo_phase_probe.py [m]
+Run on the TPU (relay free): python tools/kron_elbo_phase_probe.py [m]
 """
+
+import sys as _sys, os as _os
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
 import os
 import sys

@@ -5,6 +5,9 @@ platform (CLAUDE.md: f64 emulation unreliable in recursions) to size the
 round's DS-block-kernel work.  Run: python tools/kron_tpu_probe.py [m_per_dim]
 """
 
+import sys as _sys, os as _os
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import sys
 import time
 

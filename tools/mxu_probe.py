@@ -11,6 +11,9 @@ this platform accepts — see banded/pallas_kernels.py docstring):
   5. dot of a dynamically sliced operand (slice -> dot chain)
 """
 
+import sys as _sys, os as _os
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import sys
 
 import jax

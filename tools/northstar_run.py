@@ -10,8 +10,11 @@ MSE on a held-out 5% split with each, and record wall-clock per phase.
 "Matched" = the TPU NLPD agrees with the CPU-f64 NLPD to ~1e-6.
 
 Writes NORTHSTAR.json at the repo root.
-Run (TPU relay free): PYTHONPATH=/root/repo python tools/northstar_run.py
+Run (TPU relay free): python tools/northstar_run.py
 """
+
+import sys as _sys, os as _os
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
 import json
 import os

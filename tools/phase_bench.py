@@ -5,6 +5,9 @@ dispatch round-trip through the relay; block_until_ready may lie — force a
 scalar to host).  Run on the TPU:  python tools/phase_bench.py
 """
 
+import sys as _sys, os as _os
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import json
 import time
 

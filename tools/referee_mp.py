@@ -5,6 +5,9 @@ ill-conditioned spline Kuu (kappa ~ m^4 for Matern-3/2 x B3 at unit
 lengthscale).  CPU only.  Run: python tools/referee_mp.py [m]
 """
 
+import sys as _sys, os as _os
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import sys
 
 import mpmath as mp

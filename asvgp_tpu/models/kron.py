@@ -1,4 +1,4 @@
-"""GPRKron — tensor-product (Kronecker) spline features for D=2 inputs.
+"""GPRKron — tensor-product (Kronecker) spline features for D>=2 inputs.
 
 TPU-native equivalent of the reference ``GPR_kron`` (asvgp/gpr.py:239-359),
 with the structure the reference leaves on the table (SURVEY.md §3.4): the
@@ -52,16 +52,21 @@ def kron_params_to_kernels(params, nu2s):
 
 
 class GPRKron:
-    """2-D ASVGP regression with tensor-product B-spline inducing features."""
+    """D-dimensional ASVGP regression with tensor-product B-spline inducing
+    features.  D=2 is the flagship (eNATL60) path; D>=3 routes through the
+    generic-D statistics in stats/kron_nd.py (block-banded P with the
+    trailing dims flattened dense — the reference is unusable past D=2, see
+    stats/kron_nd.py docstring for the scaling envelope)."""
 
     def __init__(self, data, kernels, bases, *, noise_variance=1.0,
                  mesh=None, axis="data", backend=None):
         X, y = data
         X = jnp.asarray(X)
         y = jnp.asarray(y)
-        if X.ndim != 2 or X.shape[1] != 2:
-            raise ValueError("GPRKron currently supports D=2 inputs of shape (n, 2)")
-        if len(kernels) != 2 or len(bases) != 2:
+        if X.ndim != 2 or X.shape[1] < 2:
+            raise ValueError("GPRKron requires inputs of shape (n, D) with D >= 2")
+        D = X.shape[1]
+        if len(kernels) != D or len(bases) != D:
             raise ValueError("need one kernel and one basis per input dimension")
         for d, basis in enumerate(bases):
             lo = float(jnp.min(X[:, d]))
@@ -83,21 +88,41 @@ class GPRKron:
 
         _bops.impl_scope(backend)  # validates the name eagerly
         self.backend = backend
+        self.D = D
         yf = jnp.reshape(y, (-1,))
-        if mesh is not None:
-            self.stats = compute_kron_stats_sharded(self.bases, X, yf, mesh, axis)
+        if D == 2:
+            if mesh is not None:
+                self.stats = compute_kron_stats_sharded(self.bases, X, yf, mesh, axis)
+            else:
+                self.stats = jax.jit(
+                    lambda xx, yy: compute_kron_stats(self.bases, xx, yy)
+                )(X, yf)
         else:
-            self.stats = jax.jit(
-                lambda xx, yy: compute_kron_stats(self.bases, xx, yy)
-            )(X, yf)
+            from asvgp_tpu.stats.kron_nd import (
+                compute_kron_stats_nd,
+                compute_kron_stats_nd_sharded,
+            )
+
+            if mesh is not None:
+                self.stats = compute_kron_stats_nd_sharded(
+                    self.bases, X, yf, mesh, axis
+                )
+            else:
+                self.stats = jax.jit(
+                    lambda xx, yy: compute_kron_stats_nd(self.bases, xx, yy)
+                )(X, yf)
 
     # ---- parity helpers ----------------------------------------------------
     @property
     def bandwidth(self) -> int:
-        """Joint scalar bandwidth of P (reference computes this at
-        asvgp/gpr.py:262); informational — we use the block-banded form."""
-        m2 = self.bases[1].m
-        return self.bases[0].order * m2 + self.bases[1].order
+        """Joint scalar bandwidth of P under row-major flattening (reference
+        computes the equal-m special case at asvgp/gpr.py:262); informational
+        — we use the block-banded form."""
+        bw = 0
+        for d in range(self.D):
+            trailing = math.prod(b.m for b in self.bases[d + 1:])
+            bw += self.bases[d].order * trailing
+        return bw
 
     def init_params(self):
         return {
@@ -120,13 +145,32 @@ class GPRKron:
     def _factor_bands(self, kernels):
         return [make_kuu(k, b) for k, b in zip(kernels, self.bases)]
 
-    def _p_blocks(self, kuu_bands, sigma2):
-        kuu2_dense = banded.band_to_dense(
+    def _trailing_dense(self, kuu_bands):
+        """Dense Kronecker product of the trailing (d >= 2) Kuu factors."""
+        dense = banded.band_to_dense(
             banded.symmetrise_lower_band(kuu_bands[1]),
             self.bases[1].order,
             self.bases[1].order,
         )
-        return t_band_to_blocks(self.stats.t_band, kuu_bands[0], kuu2_dense, sigma2)
+        for d in range(2, self.D):
+            fd = banded.band_to_dense(
+                banded.symmetrise_lower_band(kuu_bands[d]),
+                self.bases[d].order,
+                self.bases[d].order,
+            )
+            dense = jnp.einsum("ab,cd->acbd", dense, fd).reshape(
+                dense.shape[0] * fd.shape[0], dense.shape[1] * fd.shape[1]
+            )
+        return dense
+
+    def _p_blocks(self, kuu_bands, sigma2, t_band=None):
+        t_band = self.stats.t_band if t_band is None else t_band
+        trailing = self._trailing_dense(kuu_bands)
+        if self.D == 2:
+            return t_band_to_blocks(t_band, kuu_bands[0], trailing, sigma2)
+        from asvgp_tpu.stats.kron_nd import t_band_to_blocks_nd
+
+        return t_band_to_blocks_nd(t_band, kuu_bands[0], trailing, sigma2)
 
     def elbo(self, params):
         from asvgp_tpu.banded import ops as _bops
@@ -137,23 +181,32 @@ class GPRKron:
     def _elbo_inner(self, params):
         kernels, lik = self._build(params)
         sigma2 = lik.variance
-        m1, m2 = self.bases[0].m, self.bases[1].m
+        ms = [b.m for b in self.bases]
 
         kuu_bands = self._factor_bands(kernels)
         l_bands = [banded.cholesky_band(kb) for kb in kuu_bands]
-        # Kronecker determinant identity: log|A⊗B| = m_B log|A| + m_A log|B|
-        log_det_kuu = m2 * banded.log_det_from_cholesky(l_bands[0]) + m1 * (
-            banded.log_det_from_cholesky(l_bands[1])
+        # Kronecker determinant identity:
+        #   log|⊗_d A_d| = Σ_d (Π_{e≠d} m_e) log|A_d|
+        log_det_kuu = sum(
+            math.prod(ms) // ms[d] * banded.log_det_from_cholesky(l_bands[d])
+            for d in range(self.D)
         )
         s_bands = [banded.takahashi_inverse_band(lb) for lb in l_bands]
-        trace_term = t_band_trace_against_kron(self.stats.t_band, s_bands[0], s_bands[1])
+        if self.D == 2:
+            trace_term = t_band_trace_against_kron(
+                self.stats.t_band, s_bands[0], s_bands[1]
+            )
+        else:
+            from asvgp_tpu.stats.kron_nd import t_band_trace_against_kron_nd
+
+            trace_term = t_band_trace_against_kron_nd(self.stats.t_band, s_bands)
 
         p_blocks = self._p_blocks(kuu_bands, sigma2)
         l_p = block.cholesky_block_banded(p_blocks)
         log_det_p = block.log_det_from_block_cholesky(l_p)
         c = block.solve_lower_block_banded(l_p, self.stats.kuf_y) / sigma2
 
-        kdiag_sum = self.stats.n * kernels[0].variance * kernels[1].variance
+        kdiag_sum = self.stats.n * math.prod(k.variance for k in kernels)
 
         elbo = -0.5 * self.stats.n * (_LOG2PI + jnp.log(sigma2))
         elbo -= 0.5 * log_det_p
@@ -183,23 +236,18 @@ class GPRKron:
     def _posterior_arrays(self, params, t_band, kuf_y):
         kernels, lik = self._build(params)
         sigma2 = lik.variance
-        m1, m2 = self.bases[0].m, self.bases[1].m
+        m1 = self.bases[0].m
 
         kuu_bands = self._factor_bands(kernels)
         l_bands = [banded.cholesky_band(kb) for kb in kuu_bands]
         s_bands = [banded.takahashi_inverse_band(lb) for lb in l_bands]
 
-        kuu2_dense = banded.band_to_dense(
-            banded.symmetrise_lower_band(kuu_bands[1]),
-            self.bases[1].order,
-            self.bases[1].order,
-        )
-        p_blocks = t_band_to_blocks(t_band, kuu_bands[0], kuu2_dense, sigma2)
+        p_blocks = self._p_blocks(kuu_bands, sigma2, t_band=t_band)
         l_p = block.cholesky_block_banded(p_blocks)
         w = block.cholesky_solve_block_banded(l_p, kuf_y) / sigma2
-        w_grid = w.reshape(m1, m2)
-        sp = block.takahashi_inverse_block_banded(l_p)  # (k1+1, m1, m2, m2)
-        return w_grid, sp, s_bands[0], s_bands[1]
+        w_flat = w.reshape(m1, -1)  # (m1, Π_{d>=2} m_d)
+        sp = block.takahashi_inverse_block_banded(l_p)  # (k1+1, m1, M2, M2)
+        return w_flat, sp, tuple(s_bands)
 
     def _posterior_inner(self, params) -> "PosteriorKron":
         kernels, lik = self._build(params)
@@ -208,10 +256,10 @@ class GPRKron:
         # the data values and the executable free of embedded MB constants
         if not hasattr(self, "_post_jit"):
             self._post_jit = jax.jit(self._posterior_arrays)
-        w_grid, sp, s0, s1 = self._post_jit(
+        w_flat, sp, s_bands = self._post_jit(
             params, self.stats.t_band, self.stats.kuf_y
         )
-        return PosteriorKron(kernels, lik, self.bases, w_grid, sp, (s0, s1))
+        return PosteriorKron(kernels, lik, self.bases, w_flat, sp, s_bands)
 
     def predict_f(self, params, Xnew, full_cov: bool = False):
         return self.posterior(params).predict_f(Xnew, full_cov=full_cov)
@@ -235,15 +283,15 @@ class GPRKron:
 
 class PosteriorKron:
     """Cached GPRKron posterior (block factorization done once at
-    construction; predictions are windowed gathers, O((k+1)⁴) per point)."""
+    construction; predictions are windowed gathers, O(Π(k_d+1)²) per point)."""
 
-    def __init__(self, kernels, lik, bases, w_grid, sp, s_bands):
+    def __init__(self, kernels, lik, bases, w_flat, sp, s_bands):
         self.kernels = kernels
         self.likelihood = lik
         self.bases = bases
-        self.w_grid = w_grid
+        self.w_flat = w_flat  # (m1, Π_{d>=2} m_d)
         self.sp = sp
-        self.s_bands = s_bands
+        self.s_bands = tuple(s_bands)
 
     def predict_f(self, Xnew, full_cov: bool = False):
         if full_cov:
@@ -253,49 +301,57 @@ class PosteriorKron:
         # value-stable
         if not hasattr(self, "_predict_jit"):
             self._predict_jit = jax.jit(self._predict_arrays)
+        kdiag = math.prod(k.variance for k in self.kernels)
         return self._predict_jit(
-            jnp.asarray(Xnew), self.w_grid, self.sp,
-            self.s_bands[0], self.s_bands[1],
-            self.kernels[0].variance * self.kernels[1].variance,
+            jnp.asarray(Xnew), self.w_flat, self.sp, self.s_bands, kdiag
         )
 
-    def _predict_arrays(self, x, w_grid, sp, s_band0, s_band1, kdiag):
-        b1, b2 = self.bases
-        k1, k2 = b1.order, b2.order
-        s_bands = (s_band0, s_band1)
+    def _predict_arrays(self, x, w_flat, sp, s_bands, kdiag):
+        from asvgp_tpu.models.gpr1d import window_quadratic_form
 
-        v1, c1 = b1.evaluate_basis(x[:, 0], dx=0)
-        v2, c2 = b2.evaluate_basis(x[:, 1], dx=0)
+        bases = self.bases
+        k1 = bases[0].order
+
+        v1, c1 = bases[0].evaluate_basis(x[:, 0], dx=0)
         n = v1.shape[0]
         r1 = c1[:, None] + jnp.arange(k1 + 1, dtype=c1.dtype)[None, :]  # (n, k1+1)
-        r2 = c2[:, None] + jnp.arange(k2 + 1, dtype=c2.dtype)[None, :]  # (n, k2+1)
 
-        # mean = Σ v1[s1] v2[s2] w[c1+s1, c2+s2]
-        w_win = w_grid[r1[:, :, None], r2[:, None, :]]  # (n, k1+1, k2+1)
-        mean = jnp.einsum("na,nab,nb->n", v1, w_win, v2)
+        # kusᵀ Kuu⁻¹ kus = Π_d (per-dim window quadratic forms); meanwhile
+        # build the flattened trailing window: indices r_t (n, T) into the
+        # row-major Π_{d>=2} m_d axis and values v_t (n, T), T = Π(k_d+1)
+        q_prod = window_quadratic_form(s_bands[0], v1, c1)
+        v_t = r_t = None
+        for d in range(1, len(bases)):
+            vd, cd = bases[d].evaluate_basis(x[:, d], dx=0)
+            kd = bases[d].order
+            rd = cd[:, None] + jnp.arange(kd + 1, dtype=cd.dtype)[None, :]
+            q_prod = q_prod * window_quadratic_form(s_bands[d], vd, cd)
+            if v_t is None:
+                v_t, r_t = vd, rd
+            else:
+                r_t = (r_t[:, :, None] * bases[d].m + rd[:, None, :]).reshape(n, -1)
+                v_t = (v_t[:, :, None] * vd[:, None, :]).reshape(n, -1)
+
+        # mean = Σ v1[s1] v_t[t] w[c1+s1, r_t[t]]
+        w_win = w_flat[r1[:, :, None], r_t[:, None, :]]  # (n, k1+1, T)
+        mean = jnp.einsum("na,nat,nt->n", v1, w_win, v_t)
 
         # kusᵀ P⁻¹ kus via block-Takahashi windows
         quad_p = jnp.zeros((n,), v1.dtype)
         for d in range(k1 + 1):
             mult = 1.0 if d == 0 else 2.0
-            sp_d = sp[d]  # (m1, m2, m2)
+            sp_d = sp[d]  # (m1, M2, M2)
             for s1 in range(k1 + 1 - d):
                 j1 = c1 + s1
                 win = sp_d[
                     j1[:, None, None],
-                    r2[:, :, None],
-                    r2[:, None, :],
-                ]  # (n, k2+1, k2+1) — block (c1+s1+d, c1+s1) window
-                val = jnp.einsum("na,nab,nb->n", v2, win, v2)
+                    r_t[:, :, None],
+                    r_t[:, None, :],
+                ]  # (n, T, T) — block (c1+s1+d, c1+s1) window
+                val = jnp.einsum("nt,ntu,nu->n", v_t, win, v_t)
                 quad_p = quad_p + mult * v1[:, s1 + d] * v1[:, s1] * val
 
-        # kusᵀ Kuu⁻¹ kus = Π_d (per-dim window quadratic forms)
-        from asvgp_tpu.models.gpr1d import window_quadratic_form
-
-        q1 = window_quadratic_form(s_bands[0], v1, c1)
-        q2 = window_quadratic_form(s_bands[1], v2, c2)
-
-        var = kdiag + quad_p - q1 * q2
+        var = kdiag + quad_p - q_prod
         return mean[:, None], var[:, None]
 
     def predict_y(self, Xnew):

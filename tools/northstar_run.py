@@ -92,10 +92,36 @@ def run_leg(device, train, test):
 
 
 def main():
+    path = os.path.abspath(
+        os.path.join(os.path.dirname(__file__), "..", "NORTHSTAR.json")
+    )
+    warm = "--warm" in _sys.argv
     train, test = make_data()
     tpu = jax.devices()[0]
-    cpu = jax.devices("cpu")[0]
 
+    if warm:
+        # Re-run only the TPU leg against the persistent compile cache
+        # populated by a prior cold run; merge into the existing artifact so
+        # the cold (compile-included) and warm (steady-state) stories are
+        # both recorded.
+        with open(path) as f:
+            out = json.load(f)
+        print("TPU warm leg...", flush=True)
+        res_tpu = run_leg(tpu, train, test)
+        print(json.dumps(res_tpu), flush=True)
+        out["tpu_warm"] = res_tpu
+        out["time_to_nlpd_tpu_warm_s"] = round(
+            res_tpu["t_precompute_s"] + res_tpu["t_opt_s"], 2
+        )
+        out["nlpd_abs_diff_warm"] = abs(
+            res_tpu["nlpd"] - out["cpu_f64"]["nlpd"]
+        )
+        with open(path, "w") as f:
+            json.dump(out, f, indent=1)
+        print(json.dumps(out))
+        return
+
+    cpu = jax.devices("cpu")[0]
     print("TPU leg...", flush=True)
     res_tpu = run_leg(tpu, train, test)
     print(json.dumps(res_tpu), flush=True)
@@ -119,8 +145,7 @@ def main():
         "cpu_loadavg": round(os.getloadavg()[0], 2),
     }
     out["nlpd_matched_1e6"] = bool(out["nlpd_abs_diff"] < 1e-6)
-    path = os.path.join(os.path.dirname(__file__), "..", "NORTHSTAR.json")
-    with open(os.path.abspath(path), "w") as f:
+    with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))
 

@@ -33,6 +33,7 @@ from asvgp_tpu.banded.pallas_kernels import (
     _rowge_mask,
     _rowp_mask,
     _to_tiles,
+    trace_cached,
 )
 from jax.experimental import pallas as pl
 
@@ -102,6 +103,7 @@ def _chol_fwd_ds_kernel(ah_ref, al_ref, mask_ref, oh_ref, ol_ref):
     lax.fori_loop(0, nt, tile_body, (z, z))
 
 
+@trace_cached
 def cholesky_band_fwd_ds(a_band64):
     k = a_band64.shape[0] - 1
     m = a_band64.shape[1]
@@ -207,6 +209,7 @@ def _chol_bwd_ds_kernel(lh_ref, ll_ref, lph_ref, lpl_ref, cth_ref, ctl_ref,
     lax.fori_loop(0, nt, tile_body, tuple((zc, zc) for _ in range(k)))
 
 
+@trace_cached
 def cholesky_band_bwd_ds(l_band64, cot64):
     k = l_band64.shape[0] - 1
     m = l_band64.shape[1]
@@ -283,6 +286,7 @@ def _takahashi_fwd_ds_kernel(lh_ref, ll_ref, mask_ref, oh_ref, ol_ref):
     lax.fori_loop(0, nt, tile_body, (z, z))
 
 
+@trace_cached
 def takahashi_fwd_ds(l_band64):
     k = l_band64.shape[0] - 1
     m = l_band64.shape[1]
@@ -331,6 +335,7 @@ def _solve_lower_ds_kernel(gh_ref, gl_ref, dh_ref, dl_ref, bh_ref, bl_ref,
     lax.fori_loop(0, nt, tile_body, (z, z))
 
 
+@trace_cached
 def solve_lower_ds(l_band64, b64):
     k = l_band64.shape[0] - 1
     m = l_band64.shape[1]
@@ -382,6 +387,7 @@ def _solve_upper_t_ds_kernel(lh_ref, ll_ref, bh_ref, bl_ref, oh_ref, ol_ref):
     lax.fori_loop(0, nt, tile_body, (z, z))
 
 
+@trace_cached
 def solve_upper_t_ds(l_band64, b64):
     k = l_band64.shape[0] - 1
     m = l_band64.shape[1]
@@ -552,6 +558,7 @@ def _takahashi_bwd_ds_kernel(lh_ref, ll_ref, sh_ref, sl_ref, snh_ref, snl_ref,
     lax.fori_loop(0, nt, tile_body, tuple((zc, zc) for _ in range(k)))
 
 
+@trace_cached
 def takahashi_bwd_ds(l_band64, s_band64, cot64):
     k = l_band64.shape[0] - 1
     m = l_band64.shape[1]

@@ -62,6 +62,7 @@ from asvgp_tpu.banded.pallas_kernels import (
     _call2,
     _row0_mask as _row0,
     _rowp_mask as _rowp,
+    trace_cached,
 )
 
 
@@ -404,6 +405,7 @@ def _tak_bwd_vec_kernel(lh_ref, ll_ref, sh_ref, sl_ref, snh_ref, snl_ref,
     lax.fori_loop(0, nt, tile_body, tuple((zc0, zc0) for _ in range(k)))
 
 
+@trace_cached
 def takahashi_bwd_vec_ds(l_band64, s_band64, cot64, iv64):
     """L̄ from the Takahashi adjoint; iv64 = reciprocal diagonal of L
     (from kernel A), so the kernel is divide-free."""
@@ -580,6 +582,7 @@ def _tak_bwd_pair_kernel(lh_ref, ll_ref, sh_ref, sl_ref, snh_ref, snl_ref,
     lax.fori_loop(0, nt, tile_body, tuple((zc0, zc0) for _ in range(k)))
 
 
+@trace_cached
 def takahashi_bwd_pair_ds(l_band64, s_band64, cot64, iv64):
     """Pair-width (dead-lane) L̄ from the Takahashi adjoint; iv64 =
     reciprocal diagonal of L (from kernel A), so the kernel is
@@ -611,6 +614,7 @@ def takahashi_bwd_pair_ds(l_band64, s_band64, cot64, iv64):
 # ===========================================================================
 
 
+@trace_cached
 def factor_takahashi_solve_ds(kuu_band64, p_band64, b64):
     """Run sweeps A and B: returns (l_kuu, l_p, s_kuu, s_p, c0, u, iv_kuu),
     where c0 = L_P⁻¹ b, u = P⁻¹ b and iv_kuu = 1/diag(L_Kuu) (reused by the

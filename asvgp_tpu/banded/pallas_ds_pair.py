@@ -20,7 +20,7 @@ import numpy as np
 from jax import lax
 
 from asvgp_tpu.banded import ds
-from asvgp_tpu.banded.pallas_kernels import TILE, _call2
+from asvgp_tpu.banded.pallas_kernels import TILE, _call2, trace_cached
 from jax.experimental import pallas as pl
 
 
@@ -128,6 +128,7 @@ def _chol_fwd_pair_kernel(ah_ref, al_ref, mask_ref, oh_ref, ol_ref):
     lax.fori_loop(0, nt, tile_body, (z, z))
 
 
+@trace_cached
 def cholesky_band_pair_fwd_ds(a_band64, b_band64):
     k = a_band64.shape[0] - 1
     m = a_band64.shape[1]
@@ -239,6 +240,7 @@ def _chol_bwd_pair_kernel(lh_ref, ll_ref, lph_ref, lpl_ref, cth_ref, ctl_ref,
     lax.fori_loop(0, nt, tile_body, tuple((zc, zc) for _ in range(k)))
 
 
+@trace_cached
 def cholesky_band_pair_bwd_ds(l_a64, l_b64, cot_a64, cot_b64):
     k = l_a64.shape[0] - 1
     m = l_a64.shape[1]

@@ -57,6 +57,34 @@ def set_interpret(value: bool) -> None:
     _INTERPRET = value
 
 
+def trace_cached(f):
+    """Route every call of ``f`` through one module-level ``jax.jit`` so its
+    trace is cached across call sites and re-traces.
+
+    Tracing a statically-unrolled DS kernel body costs ~15-20 s of host
+    Python on this 1-core image, and a value-and-grad of the collapsed ELBO
+    mentions the kernels ~6x (primal + custom-vjp fwd/bwd, then again inside
+    the L-BFGS line search): without caching, *tracing* dominated warm
+    end-to-end runs (226 s of the north-star t_opt vs 19.6 s of actual TPU
+    execution).  ``jax.jit``'s trace cache is keyed on (function identity,
+    avals), so one shared jitted instance makes all but the first trace
+    free.  Interpret mode (tests on CPU) bypasses the wrapper because
+    ``_INTERPRET`` is read at trace time and must not be baked into a
+    cached trace.
+    """
+    import functools
+
+    jf = jax.jit(f)
+
+    @functools.wraps(f)
+    def wrapper(*args):
+        if _INTERPRET:
+            return f(*args)
+        return jf(*args)
+
+    return wrapper
+
+
 def _call(kernel, out_shape, *args):
     return pl.pallas_call(
         kernel,

@@ -65,9 +65,10 @@ def run_leg(device, train, test):
         t_pre = time.time() - t0
 
         t0 = time.time()
+        opt_timings = {}
         params, loss, iters = fit_lbfgs(
             jax.jit(model.training_loss), model.init_params(),
-            max_iters=MAX_ITERS,
+            max_iters=MAX_ITERS, timings=opt_timings,
         )
         jax.block_until_ready(loss)
         t_opt = time.time() - t0
@@ -87,6 +88,10 @@ def run_leg(device, train, test):
         "mse": float(mse(np.asarray(yte), np.asarray(mean))),
         "t_precompute_s": round(t_pre, 2),
         "t_opt_s": round(t_opt, 2),
+        # trace/compile-or-load/execute split of t_opt: exec_s is the
+        # hardware number; trace_s is host Python, load_s is dominated by
+        # shipping the cached executable through this image's remote relay
+        "t_opt_phases": opt_timings,
         "t_pred_s": round(t_pred, 2),
     }
 

@@ -18,8 +18,35 @@ import optax
 import optax.tree_utils as otu
 
 
+def _hoist_closure(loss_fn, params):
+    """(loss_fn, params) -> (closed_fn, consts) with closed-over arrays
+    hoisted into explicit arguments: closed_fn(params, *consts) == loss_fn(params).
+
+    Replacement for ``jax.closure_convert``, which in this jax version no
+    longer surfaces closed-over arrays (it returns zero consts even for a
+    plain captured jnp array), so the model sufficient statistics were
+    silently baked into the optimization executable as literals — wrong for
+    the refit ``cache`` (pinned to the first fit's data) and bloats the
+    executable at the eNATL scale.  ``make_jaxpr`` still exposes the jaxpr
+    constvars, so hoist via eval_jaxpr.  A jax.jit-wrapped loss hides its
+    captures INSIDE the pjit call, so unwrap first.
+    """
+    raw_loss = getattr(loss_fn, "__wrapped__", loss_fn)
+    closed = jax.make_jaxpr(raw_loss)(params)
+    consts = list(closed.consts)
+
+    def closed_fn(p, *cs):
+        out = jax.core.eval_jaxpr(
+            closed.jaxpr, list(cs), *jax.tree.leaves(p)
+        )
+        return out[0]
+
+    return closed_fn, consts
+
+
 def fit_lbfgs(loss_fn, params, *, max_iters: int = 500, tol: float = 1e-8,
-              memory_size: int = 20, timings: dict | None = None):
+              memory_size: int = 20, timings: dict | None = None,
+              cache: dict | None = None):
     """Minimize ``loss_fn`` over the ``params`` pytree with L-BFGS + zoom
     line search.  Returns (params, final_loss, num_iters).
 
@@ -35,13 +62,28 @@ def fit_lbfgs(loss_fn, params, *, max_iters: int = 500, tol: float = 1e-8,
     under ``trace_s``, ``load_s``, ``exec_s`` (the north-star artifact
     reports this split: on the benching image the remote-compile relay
     makes load a large, hardware-independent constant).
+
+    ``cache``: optional dict reused across fits of the *same model class,
+    shapes and solver settings* (e.g. the reference's 5-fold protocols,
+    which refit per split in one process).  The compiled optimization loop
+    is stored under ``"compiled"`` and reused when the (params, consts)
+    shapes match, so a repeat fit pays only ``closure_convert`` of the new
+    loss (cheap — the kernel traces are cached) plus execution.  The caller
+    must not vary max_iters/tol/memory_size under one cache.
     """
     opt = optax.lbfgs(
         memory_size=memory_size,
         linesearch=optax.scale_by_zoom_linesearch(max_linesearch_steps=30),
     )
 
-    closed_fn, consts = jax.closure_convert(loss_fn, params)
+    closed_fn, consts = _hoist_closure(loss_fn, params)
+    if cache is not None and not consts:
+        raise ValueError(
+            "fit_lbfgs(cache=...) needs the loss's data hoisted as "
+            "arguments, but no closed-over arrays were found "
+            "(is the loss double-wrapped in jit?); refusing a cache that "
+            "would silently reuse the first fit's data"
+        )
 
     def run(params, consts):
         def loss(p):
@@ -76,17 +118,34 @@ def fit_lbfgs(loss_fn, params, *, max_iters: int = 500, tol: float = 1e-8,
             otu.tree_get(state, "value"),
         )
 
-    if timings is None:
+    def _avals(tree):
+        return tuple(
+            (a.shape, str(a.dtype)) for a in jax.tree.leaves(tree)
+        )
+
+    key = (_avals(params), _avals(consts))
+    if cache is not None and cache.get("key") == key:
+        compiled = cache["compiled"]
+        params, iters, final_loss = jax.block_until_ready(
+            compiled(params, consts)
+        )
+        return params, final_loss, iters
+
+    if timings is None and cache is None:
         params, iters, final_loss = jax.jit(run)(params, consts)
     else:
         import time as _time
 
+        timings = {} if timings is None else timings
         t0 = _time.time()
         lowered = jax.jit(run).lower(params, consts)
         timings["trace_s"] = round(_time.time() - t0, 2)
         t0 = _time.time()
         compiled = lowered.compile()
         timings["load_s"] = round(_time.time() - t0, 2)
+        if cache is not None:
+            cache["key"] = key
+            cache["compiled"] = compiled
         t0 = _time.time()
         params, iters, final_loss = jax.block_until_ready(
             compiled(params, consts)

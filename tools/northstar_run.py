@@ -47,12 +47,13 @@ def make_data():
     return (x[n_test:], y[n_test:]), (x[:n_test], y[:n_test])
 
 
-def run_leg(device, train, test):
+def run_leg(device, train, test, steady=False):
     from asvgp_tpu.basis import B3Spline
     from asvgp_tpu.models import GPR1D, Matern32
     from asvgp_tpu.train import fit_lbfgs, mse, nlpd
 
     (xtr, ytr), (xte, yte) = train, test
+    fit_cache = {} if steady else None
     with jax.default_device(device):
         t0 = time.time()
         model = GPR1D(
@@ -68,7 +69,7 @@ def run_leg(device, train, test):
         opt_timings = {}
         params, loss, iters = fit_lbfgs(
             jax.jit(model.training_loss), model.init_params(),
-            max_iters=MAX_ITERS, timings=opt_timings,
+            max_iters=MAX_ITERS, timings=opt_timings, cache=fit_cache,
         )
         jax.block_until_ready(loss)
         t_opt = time.time() - t0
@@ -80,7 +81,7 @@ def run_leg(device, train, test):
         jax.block_until_ready(mean)
         t_pred = time.time() - t0
 
-    return {
+    res = {
         "device": str(device),
         "elbo": -float(loss),
         "iters": int(iters),
@@ -94,6 +95,40 @@ def run_leg(device, train, test):
         "t_opt_phases": opt_timings,
         "t_pred_s": round(t_pred, 2),
     }
+    if steady:
+        # steady-state per-fit time: the reference's 5-fold protocols refit
+        # per split in ONE process (electricity.py), where all traces and
+        # executables are already warm — refit on a rotated 95% split
+        # reusing the compiled optimization loop
+        n_test = xte.shape[0]
+        x_all = np.concatenate([np.asarray(xte), np.asarray(xtr)])
+        y_all = np.concatenate([np.asarray(yte), np.asarray(ytr)])
+        # split 2 trains on the first 95% (old test block + most of train)
+        x2, y2 = x_all[: xtr.shape[0]], y_all[: ytr.shape[0]]
+        with jax.default_device(device):
+            t0 = time.time()
+            model2 = GPR1D(
+                (jnp.asarray(x2), jnp.asarray(y2)),
+                Matern32(variance=1.0, lengthscales=1e-3),
+                B3Spline(0.0, 1.0, M),
+                noise_variance=0.1,
+            )
+            jax.block_until_ready(model2.stats.kuf_y)
+            t_pre2 = time.time() - t0
+            t0 = time.time()
+            params2, loss2, iters2 = fit_lbfgs(
+                jax.jit(model2.training_loss), model2.init_params(),
+                max_iters=MAX_ITERS, cache=fit_cache,
+            )
+            float(loss2)
+            t_fit2 = time.time() - t0
+        res["steady"] = {
+            "t_precompute_s": round(t_pre2, 2),
+            "t_fit_s": round(t_fit2, 2),
+            "elbo": -float(loss2),
+            "iters": int(iters2),
+        }
+    return res
 
 
 def main():
@@ -112,7 +147,7 @@ def main():
         with open(path) as f:
             out = json.load(f)
         print("TPU warm leg...", flush=True)
-        res_tpu = run_leg(tpu, train, test)
+        res_tpu = run_leg(tpu, train, test, steady=True)
         print(json.dumps(res_tpu), flush=True)
         out["tpu_warm"] = res_tpu
         out["time_to_nlpd_tpu_warm_s"] = round(
@@ -121,6 +156,12 @@ def main():
         out["nlpd_abs_diff_warm"] = abs(
             res_tpu["nlpd"] - out["cpu_f64"]["nlpd"]
         )
+        st = res_tpu.get("steady")
+        if st:
+            # per-fit time once the process is warm (5-fold protocol regime)
+            out["time_to_nlpd_tpu_steady_s"] = round(
+                st["t_precompute_s"] + st["t_fit_s"], 2
+            )
         with open(path, "w") as f:
             json.dump(out, f, indent=1)
         print(json.dumps(out))

@@ -91,13 +91,16 @@ def main():
     print(f"precompute: {clock.times['precompute']:.1f}s "
           f"(N={len(ytr)}, features={args.m ** 2})")
 
+    opt_timings = {}
     with clock.section("optimize"):
         params, loss, iters = fit_lbfgs(
-            jax.jit(model.training_loss), model.init_params(), max_iters=args.iters
+            jax.jit(model.training_loss), model.init_params(),
+            max_iters=args.iters, timings=opt_timings,
         )
         jax.block_until_ready(loss)
     print(f"optimize: {clock.times['optimize']:.1f}s "
-          f"(ELBO={-float(loss):.2f}, {int(iters)} iters)")
+          f"(ELBO={-float(loss):.2f}, {int(iters)} iters, "
+          f"phases {opt_timings})")
 
     with clock.section("predict"):
         # factor once, predict many: posterior() caches the block
@@ -129,6 +132,7 @@ def main():
                     "timings_s": {
                         k: round(v, 2) for k, v in clock.summary().items()
                     },
+                    "opt_phases_s": opt_timings,
                 },
                 f,
                 indent=1,

@@ -77,10 +77,10 @@ def trace_cached(f):
     jf = jax.jit(f)
 
     @functools.wraps(f)
-    def wrapper(*args):
+    def wrapper(*args, **kwargs):
         if _INTERPRET:
-            return f(*args)
-        return jf(*args)
+            return f(*args, **kwargs)
+        return jf(*args, **kwargs)
 
     return wrapper
 

@@ -177,8 +177,12 @@ def test_kron_nd_predict_matches_dense_oracle():
 
 
 def test_kron_nd_sharded_stats_match():
+    # order-1 bases: same code path, ~25x smaller multiband graph — the
+    # 8-device shard_map compile of the order-2 D=3 stats takes over an
+    # hour on this 1-core host (the D=2 sharded path has full-order
+    # coverage in test_sharding_extras)
     X, y = make_data(n=160)
-    bases = make_bases()
+    bases = make_bases(ms=(5, 4, 4), orders=(1, 1, 1))
     single = jax.jit(lambda xx, yy: compute_kron_stats_nd(bases, xx, yy))(
         X, y[:, 0]
     )

@@ -39,7 +39,6 @@ from jax import lax
 
 from asvgp_tpu.banded import ds
 from asvgp_tpu.banded.dsx import _matmul_ds_raw
-from asvgp_tpu.banded.pallas_kernels import trace_cached
 
 
 def _split(x):
@@ -117,7 +116,6 @@ def _tri_inv_one_ds(lh, ll):
     return jnp.where(keep, xh, zero), jnp.where(keep, xl, zero)
 
 
-@trace_cached
 def tri_inv_diag_blocks_ds(l0h, l0l):
     """Triangular inverses of all nb diagonal blocks, one vmapped sweep.
 
@@ -136,7 +134,6 @@ def tri_inv_diag_blocks_ds(l0h, l0l):
 # ---------------------------------------------------------------------------
 
 
-@trace_cached
 def cholesky_block_banded_ds(blocks):
     """DS block-banded Cholesky, float64 boundary. See block.py for storage."""
     Wp1, nb, B, _ = blocks.shape
@@ -225,7 +222,6 @@ def _linv_from_l(l_blocks):
     return tri_inv_diag_blocks_ds(lh, ll)
 
 
-@trace_cached
 def solve_lower_block_banded_ds(l_blocks, b, linv=None):
     """Solve L x = b (block forward substitution), float64 boundary."""
     Wp1, nb, B, _ = l_blocks.shape
@@ -284,7 +280,6 @@ def solve_lower_block_banded_ds(l_blocks, b, linv=None):
     return x[:, 0] if vec else x
 
 
-@trace_cached
 def solve_upper_block_banded_transpose_ds(l_blocks, b, linv=None):
     """Solve L^T x = b (block backward substitution), float64 boundary."""
     Wp1, nb, B, _ = l_blocks.shape
@@ -341,7 +336,6 @@ def solve_upper_block_banded_transpose_ds(l_blocks, b, linv=None):
 # ---------------------------------------------------------------------------
 
 
-@trace_cached
 def takahashi_inverse_block_banded_ds(l_blocks, linv=None):
     """Block band of (L L^T)^{-1}, float64 boundary. See block.py."""
     Wp1, nb, B, _ = l_blocks.shape

@@ -112,3 +112,42 @@ def test_interop_roundtrips():
     K = kuf_to_scipy(basis, x)
     assert K.shape == (20, 64)
     np.testing.assert_allclose(np.asarray(K.sum(axis=0)).ravel(), 1.0, rtol=1e-12)
+
+
+def test_fit_lbfgs_cache_refits_on_new_data():
+    """The in-process refit cache must parameterize by the model data.
+
+    Regression test: jax.closure_convert returns zero hoisted consts in
+    this jax version, which silently baked the first fit's sufficient
+    statistics into the reused executable — a cached refit on different
+    data returned the FIRST model's optimum.  fit_lbfgs now hoists via
+    make_jaxpr/eval_jaxpr and refuses a cache when nothing was hoisted.
+    """
+    rng = np.random.RandomState(0)
+    x = rng.uniform(0.05, 0.95, 400)
+    y1 = np.sin(8 * x) + 0.1 * rng.randn(400)
+    y2 = np.cos(5 * x) - 0.3 + 0.2 * rng.randn(400)
+    basis = B3Spline(0.0, 1.0, 50)
+
+    cache = {}
+    m1 = GPR1D((x, y1), Matern32(), basis)
+    _, l1, _ = fit_lbfgs(
+        jax.jit(m1.training_loss), m1.init_params(), max_iters=60,
+        cache=cache,
+    )
+    assert "compiled" in cache
+
+    m2 = GPR1D((x, y2), Matern32(), basis)
+    p2c, l2c, _ = fit_lbfgs(
+        jax.jit(m2.training_loss), m2.init_params(), max_iters=60,
+        cache=cache,
+    )
+    p2, l2, _ = fit_lbfgs(
+        jax.jit(m2.training_loss), m2.init_params(), max_iters=60,
+    )
+    # the cached refit must equal the uncached fit on the NEW data...
+    np.testing.assert_allclose(float(l2c), float(l2), rtol=1e-9)
+    for ka, kb in zip(jax.tree.leaves(p2c), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(np.asarray(ka), np.asarray(kb), rtol=1e-6)
+    # ...and must NOT reproduce the first fit
+    assert abs(float(l2c) - float(l1)) > 1e-3

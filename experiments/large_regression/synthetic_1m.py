@@ -45,8 +45,13 @@ def run_split(args, seed, fit_cache=None):
     xte, yte = x[:n_test], y[:n_test]
 
     basis = BSplineBasis(0.0, 1.0, args.m, args.order)
+    # data-scale lengthscale init: with a smooth default init (l=1) the
+    # spline Gram's condition number (l/delta)^{2nu+1} reaches ~1e18 at
+    # m=1000 and the ELBO trace term is ill-posed for ANY implementation
+    # (reference f64 CPU included) — see CLAUDE.md numerics notes
+    kern = lambda: Matern52(lengthscales=args.lengthscale_init)
     t0 = time.time()
-    model = GPR1D((xtr, ytr), Matern52(), basis)
+    model = GPR1D((xtr, ytr), kern(), basis)
     jax.block_until_ready(model.stats.kuf_y)
     t_pre = time.time() - t0
 
@@ -91,7 +96,7 @@ def run_split(args, seed, fit_cache=None):
         # run_adam with batch 100, 10k iters)
         from asvgp_tpu.models.svgp import SVGP1D, fit_svgp
 
-        svgp = SVGP1D(Matern52(), basis, num_data=len(xtr))
+        svgp = SVGP1D(kern(), basis, num_data=len(xtr))
         t0 = time.time()
         p_svgp, losses = fit_svgp(
             svgp, xtr, ytr, svgp.init_params(),
@@ -115,7 +120,7 @@ def run_split(args, seed, fit_cache=None):
 
         fb = FourierBasis1D(0.0, 1.0, args.vff_frequencies)
         t0 = time.time()
-        vff = GPRVFF((xtr, ytr), Matern52(), fb)
+        vff = GPRVFF((xtr, ytr), kern(), fb)
         jax.block_until_ready(vff.kuf_y)
         row["t_vff_precompute"] = time.time() - t0
         t0 = time.time()
@@ -138,7 +143,8 @@ def run_split(args, seed, fit_cache=None):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=1_000_000)
-    ap.add_argument("--m", type=int, default=10_000)
+    ap.add_argument("--m", type=int, default=1000)  # reference protocol
+    ap.add_argument("--lengthscale-init", type=float, default=0.05)
     ap.add_argument("--order", type=int, default=3)
     ap.add_argument("--splits", type=int, default=5)
     ap.add_argument("--iters", type=int, default=200)

@@ -44,6 +44,7 @@ from asvgp_tpu.banded.ops import (
     cholesky_solve_band,
     takahashi_inverse_band,
     collapsed_core,
+    collapsed_core_matern,
     banded_posterior,
     log_det_from_cholesky,
     band_frobenius,
@@ -68,6 +69,7 @@ __all__ = [
     "cholesky_solve_band",
     "takahashi_inverse_band",
     "collapsed_core",
+    "collapsed_core_matern",
     "banded_posterior",
     "log_det_from_cholesky",
     "band_frobenius",

@@ -401,6 +401,33 @@ def collapsed_core(kuu_band, p_band, b, big_band):
     )
 
 
+def collapsed_core_matern(kuu_fn, var, ell, p_band, b, big_band):
+    """``collapsed_core`` with the Matérn hyperparameter structure exposed:
+    Kuu = kuu_fn(var, ell) with kuu_fn(var, ell) = var⁻¹·G(ell) (true for
+    every Matérn RKHS Gram band — spline_features.make_kuu).
+
+    On the TPU double-single path this dispatches to the tangent-fused
+    kernels (pallas_ds_tan.py): the trace term's gradient runs as ONE
+    forward-mode direction inside the two primal sweeps and the backward
+    pass is entirely elementwise — the Takahashi/Cholesky adjoint kernels
+    (≈half the step time at m=10⁴) disappear.  Elsewhere it falls back to
+    ``collapsed_core`` on the assembled band (plain autodiff).
+    """
+    if (
+        p_band.shape[0] > 1
+        and p_band.shape == big_band.shape
+        and b.ndim == 1
+        and not _use_cr(p_band)
+        and _use_pallas_ds(p_band)
+    ):
+        from asvgp_tpu.banded import pallas_ds_tan as pdt
+
+        return pdt.collapsed_core_matern_ds(
+            kuu_fn, var, ell, p_band, b, big_band
+        )
+    return collapsed_core(kuu_fn(var, ell), p_band, b, big_band)
+
+
 def banded_posterior(kuu_band, p_band, b):
     """(band of Kuu⁻¹, band of P⁻¹, P⁻¹ b) — the prediction-time posterior
     quantities (reference asvgp/gpr.py:94-118, minus the CHOLMOD detour).

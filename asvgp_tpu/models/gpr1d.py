@@ -88,6 +88,30 @@ def collapsed_elbo_banded(stats: SufficientStats, kuu_band, sigma2, kdiag_sum):
     return elbo
 
 
+def collapsed_elbo_matern(stats: SufficientStats, basis, nu2, var, ell,
+                          sigma2, kdiag_sum):
+    """As ``collapsed_elbo_banded`` but with the Matérn θ-structure exposed
+    to the banded core: on the TPU DS path the trace term's gradient runs
+    as a fused forward-mode direction inside the two primal sweeps
+    (banded/pallas_ds_tan.py) and the whole backward is elementwise."""
+
+    def kuu_fn(v, l):
+        return make_kuu(Matern.tree_unflatten((nu2,), (v, l)), basis)
+
+    p_band = stats.kufkfu_band / sigma2 + kuu_fn(var, ell)
+    log_det_kuu, log_det_p, quad, trace_term = banded.collapsed_core_matern(
+        kuu_fn, var, ell, p_band, stats.kuf_y, stats.kufkfu_band
+    )
+    elbo = -0.5 * stats.n * (_LOG2PI + jnp.log(sigma2))
+    elbo -= 0.5 * log_det_p
+    elbo += 0.5 * log_det_kuu
+    elbo -= 0.5 * stats.yty / sigma2
+    elbo += 0.5 * quad / (sigma2 * sigma2)
+    elbo -= 0.5 * kdiag_sum / sigma2
+    elbo += 0.5 * trace_term / sigma2
+    return elbo
+
+
 def window_quadratic_form(band, vals, start):
     """q_i = kus_iᵀ M kus_i where M is symmetric with lower band ``band`` and
     kus_i is supported on rows start_i .. start_i + k.
@@ -232,10 +256,11 @@ class GPR1D:
 
         with _bops.impl_scope(self.backend):
             kernel, lik = self._build(params)
-            kuu = make_kuu(kernel, self.basis)
             kdiag_sum = self.stats.n * kernel.variance  # Σ K_diag for Matérn
-            return collapsed_elbo_banded(
-                self.stats, kuu, lik.variance, kdiag_sum
+            return collapsed_elbo_matern(
+                self.stats, self.basis, self.nu2,
+                kernel.variance, kernel.lengthscales,
+                lik.variance, kdiag_sum,
             )
 
     def maximum_log_likelihood_objective(self, params):

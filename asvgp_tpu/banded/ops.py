@@ -421,7 +421,12 @@ def collapsed_core_matern(kuu_fn, var, ell, p_band, b, big_band):
         and _use_pallas_ds(p_band)
     ):
         from asvgp_tpu.banded import pallas_ds_tan as pdt
+        from asvgp_tpu.banded import pallas_ds_twist as pdw
 
+        if pdw.twist_applicable(p_band.shape[0] - 1, p_band.shape[1]):
+            return pdw.collapsed_core_matern_twist_ds(
+                kuu_fn, var, ell, p_band, b, big_band
+            )
         return pdt.collapsed_core_matern_ds(
             kuu_fn, var, ell, p_band, b, big_band
         )

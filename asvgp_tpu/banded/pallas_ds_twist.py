@@ -60,22 +60,19 @@ from asvgp_tpu.banded.pallas_kernels import (
     trace_cached,
 )
 
-# toggled by ops dispatch once TPU-validated; tests flip it explicitly
-_ENABLED = False
-
-
-def set_twist(value: bool) -> None:
-    global _ENABLED
-    _ENABLED = value
-
-
 def twist_applicable(k: int, m: int) -> bool:
-    """Both streams need >= k real columns plus headroom for seeds."""
+    """Both streams need >= k real columns plus headroom for seeds.
+
+    Whether the twisted path is *used* is decided by the scoped toggle in
+    ops.py (``twist_scope`` — default ON since the round-3 TPU validation:
+    tools/twist_probe.py worst rel err 4.2e-13 vs the CPU f64 oracle,
+    value+grad 22.2 → 13.6 ms at m=10⁴; KERNELCHECK matern_core rows).
+    This predicate only answers structural applicability."""
     if k < 1:
         return False
     h = tw.split_point(m, k)
     g = m - h - k
-    return _ENABLED and h >= 2 * k and g >= 2 * k
+    return h >= 2 * k and g >= 2 * k
 
 
 # ===========================================================================

@@ -24,6 +24,7 @@ fixed here; SURVEY.md §7.3 item 6).
 from __future__ import annotations
 
 import math
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -134,6 +135,45 @@ def window_dot(vec, vals, start):
     return jnp.sum(vals * vec[idx], axis=1)
 
 
+@partial(jax.jit, static_argnames=("basis", "nu2", "backend"))
+def _posterior_core(basis, nu2, backend, kufkfu_band, kuf_y, var, ell,
+                    sigma2):
+    """One jitted posterior factorization (module-level → trace shared
+    across models/processes via the jit + persistent caches).  Both
+    Takahashi bands and the posterior mean weights come out of the same two
+    fused DS sweeps used by the ELBO (pallas_ds_core.py)."""
+    from asvgp_tpu.banded import ops as _bops
+
+    with _bops.impl_scope(backend):
+        kernel = Matern.tree_unflatten((nu2,), (var, ell))
+        kuu = make_kuu(kernel, basis)
+        p_band = kufkfu_band / sigma2 + kuu
+        kuu_inv_band, p_inv_band, u = banded.banded_posterior(
+            kuu, p_band, kuf_y
+        )
+        return u / sigma2, p_inv_band - kuu_inv_band
+
+
+@partial(jax.jit, static_argnames=("basis",))
+def _predict_chunk(basis, w, diff_band, variance, x):
+    """One jitted windowed-gather predict over a chunk of test points.
+
+    Module-level so its trace (and persistent-cache executable) is shared
+    across every Posterior1D / model / call site with the same basis and
+    chunk shape — on this image the eager per-op relay round-trip is ~27 ms,
+    which made the round-2 un-jitted predict path 15x slower than the CPU
+    leg (VERDICT r2 missing #3)."""
+    vals, start = make_kuf(basis, x)
+    mean = window_dot(w, vals, start)
+    var = variance + window_quadratic_form(diff_band, vals, start)
+    return mean, var
+
+
+@jax.jit
+def _log_density(lik, mean, var, y):
+    return lik.predict_log_density(mean, var, y)
+
+
 class Posterior1D:
     """Cached GPR1D posterior: the banded factorizations are done ONCE at
     construction; every ``predict_f`` call afterwards is pure windowed
@@ -154,25 +194,31 @@ class Posterior1D:
         x = jnp.reshape(Xnew, (-1,))
 
         def chunk_predict(xc):
-            vals, start = make_kuf(self.basis, xc)
-            mean = window_dot(self.w, vals, start)
-            var = self.kernel.variance + window_quadratic_form(
-                self.diff_band, vals, start
+            return _predict_chunk(
+                self.basis, self.w, self.diff_band, self.kernel.variance, xc
             )
-            return mean, var
 
-        if not batch:
+        if not batch or x.shape[0] <= batch:
             mean, var = chunk_predict(x)
             return mean[:, None], var[:, None]
 
+        # pad the remainder chunk to the batch size (ONE compiled chunk
+        # shape — no per-remainder retrace), then cut.  Unlike the reference
+        # the remainder points are NOT dropped (gpr.py:130-134 quirk).
+        n = x.shape[0]
+        n_pad = (-n) % batch
+        xp = jnp.pad(
+            x, (0, n_pad),
+            constant_values=0.5 * (self.basis.a + self.basis.b),
+        )
         means, vars_ = [], []
-        for lo in range(0, x.shape[0], batch):
-            mc, vc = chunk_predict(x[lo:lo + batch])
+        for lo in range(0, n + n_pad, batch):
+            mc, vc = chunk_predict(xp[lo:lo + batch])
             means.append(mc)
             vars_.append(vc)
         return (
-            jnp.concatenate(means)[:, None],
-            jnp.concatenate(vars_)[:, None],
+            jnp.concatenate(means)[:n, None],
+            jnp.concatenate(vars_)[:n, None],
         )
 
     def predict_y(self, Xnew):
@@ -182,8 +228,9 @@ class Posterior1D:
     def predict_log_density(self, data):
         Xnew, ynew = data
         mean, var = self.predict_f(Xnew)
-        return self.likelihood.predict_log_density(
-            mean, var, jnp.reshape(jnp.asarray(ynew), mean.shape)
+        return _log_density(
+            self.likelihood, mean, var,
+            jnp.reshape(jnp.asarray(ynew), mean.shape),
         )
 
 
@@ -271,25 +318,18 @@ class GPR1D:
 
     # ---- prediction ---------------------------------------------------------
     def _posterior_bands(self, params):
-        from asvgp_tpu.banded import ops as _bops
-
-        with _bops.impl_scope(self.backend):
-            kernel, lik = self._build(params)
-            sigma2 = lik.variance
-            kuu = make_kuu(kernel, self.basis)
-            p_band = self.stats.kufkfu_band / sigma2 + kuu
-            # both Takahashi bands and the posterior mean weights come out of
-            # the same two fused sweeps used by the ELBO (pallas_ds_core.py)
-            kuu_inv_band, p_inv_band, u = banded.banded_posterior(
-                kuu, p_band, self.stats.kuf_y
-            )
-            w = u / sigma2
-            return kernel, w, p_inv_band - kuu_inv_band, p_inv_band, kuu_inv_band
+        kernel, lik = self._build(params)
+        w, diff_band = _posterior_core(
+            self.basis, self.nu2, self.backend,
+            self.stats.kufkfu_band, self.stats.kuf_y,
+            kernel.variance, kernel.lengthscales, lik.variance,
+        )
+        return kernel, w, diff_band
 
     def posterior(self, params) -> Posterior1D:
         """Factor once, predict many: returns a cached posterior object."""
         _, lik = self._build(params)
-        kernel, w, diff_band, _, _ = self._posterior_bands(params)
+        kernel, w, diff_band = self._posterior_bands(params)
         return Posterior1D(kernel, lik, self.basis, w, diff_band)
 
     def predict_f(self, params, Xnew, full_cov: bool = False, batch: int | None = None):

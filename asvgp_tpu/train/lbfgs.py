@@ -18,6 +18,28 @@ import optax
 import optax.tree_utils as otu
 
 
+def _source_digest() -> str:
+    """Content hash of the asvgp_tpu package sources: any code change
+    invalidates on-disk exported artifacts (cheap: ~60 small files)."""
+    import hashlib
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    h = hashlib.sha256()
+    for dirpath, dirnames, filenames in sorted(os.walk(root)):
+        dirnames.sort()
+        for fn in sorted(filenames):
+            if fn.endswith(".py"):
+                p = os.path.join(dirpath, fn)
+                h.update(p.encode())
+                with open(p, "rb") as f:
+                    h.update(f.read())
+    return h.hexdigest()[:16]
+
+
+_SOURCE_DIGEST = None
+
+
 def _hoist_closure(loss_fn, params):
     """(loss_fn, params) -> (closed_fn, consts) with closed-over arrays
     hoisted into explicit arguments: closed_fn(params, *consts) == loss_fn(params).
@@ -41,12 +63,57 @@ def _hoist_closure(loss_fn, params):
         )
         return out[0]
 
-    return closed_fn, consts
+    return closed_fn, consts, closed
+
+
+def _jaxpr_digest(closed) -> str:
+    """Process-stable structural hash of a ClosedJaxpr (primitives, avals,
+    simple params; sub-jaxprs recursively, memoized).  Deliberately skips
+    non-serializable eqn params (functions/objects print memory addresses,
+    which would make the key different in every process)."""
+    import hashlib
+
+    h = hashlib.sha256()
+    seen = set()
+    simple = (int, float, bool, str, bytes, type(None))
+
+    def hp(name, val):
+        if isinstance(val, simple):
+            h.update(f"{name}={val!r};".encode())
+        elif isinstance(val, (tuple, list)):
+            h.update(f"{name}[".encode())
+            for v in val:
+                hp("", v)
+            h.update(b"]")
+        elif hasattr(val, "jaxpr"):
+            visit(val.jaxpr)
+        elif type(val).__name__ == "Jaxpr":
+            visit(val)
+        else:
+            h.update(f"{name}:{type(val).__name__};".encode())
+
+    def visit(jx):
+        if id(jx) in seen:
+            h.update(b"ref;")
+            return
+        seen.add(id(jx))
+        for v in list(jx.constvars) + list(jx.invars):
+            h.update(str(v.aval).encode())
+        for eqn in jx.eqns:
+            h.update(eqn.primitive.name.encode())
+            for v in eqn.invars:
+                h.update(str(v).encode() if not hasattr(v, "aval")
+                         else str(v.aval).encode())
+            for name in sorted(eqn.params):
+                hp(name, eqn.params[name])
+
+    visit(closed.jaxpr)
+    return h.hexdigest()[:24]
 
 
 def fit_lbfgs(loss_fn, params, *, max_iters: int = 500, tol: float = 1e-8,
               memory_size: int = 20, timings: dict | None = None,
-              cache: dict | None = None):
+              cache: dict | None = None, export_dir: str | None = None):
     """Minimize ``loss_fn`` over the ``params`` pytree with L-BFGS + zoom
     line search.  Returns (params, final_loss, num_iters).
 
@@ -70,13 +137,21 @@ def fit_lbfgs(loss_fn, params, *, max_iters: int = 500, tol: float = 1e-8,
     shapes match, so a repeat fit pays only ``closure_convert`` of the new
     loss (cheap — the kernel traces are cached) plus execution.  The caller
     must not vary max_iters/tol/memory_size under one cache.
+
+    ``export_dir``: optional directory for CROSS-PROCESS reuse of the traced
+    optimization loop via ``jax.export``: the first run serializes the
+    lowered StableHLO to disk; later processes with the same loss structure,
+    shapes, solver settings, platform and package sources deserialize it and
+    skip the trace (the dominant host cost at protocol shapes: 114 s at
+    1M/10k in round 2).  The XLA *executable* is still produced by
+    ``compile()``, which hits the persistent compile cache as usual.
     """
     opt = optax.lbfgs(
         memory_size=memory_size,
         linesearch=optax.scale_by_zoom_linesearch(max_linesearch_steps=30),
     )
 
-    closed_fn, consts = _hoist_closure(loss_fn, params)
+    closed_fn, consts, closed = _hoist_closure(loss_fn, params)
     if cache is not None and not consts:
         raise ValueError(
             "fit_lbfgs(cache=...) needs the loss's data hoisted as "
@@ -123,6 +198,11 @@ def fit_lbfgs(loss_fn, params, *, max_iters: int = 500, tol: float = 1e-8,
             (a.shape, str(a.dtype)) for a in jax.tree.leaves(tree)
         )
 
+    def _avals_digest(tree):
+        import hashlib
+
+        return hashlib.sha256(repr(_avals(tree)).encode()).hexdigest()[:16]
+
     key = (_avals(params), _avals(consts))
     if cache is not None and cache.get("key") == key:
         compiled = cache["compiled"]
@@ -131,14 +211,63 @@ def fit_lbfgs(loss_fn, params, *, max_iters: int = 500, tol: float = 1e-8,
         )
         return params, final_loss, iters
 
-    if timings is None and cache is None:
+    if timings is None and cache is None and export_dir is None:
         params, iters, final_loss = jax.jit(run)(params, consts)
     else:
         import time as _time
 
         timings = {} if timings is None else timings
         t0 = _time.time()
-        lowered = jax.jit(run).lower(params, consts)
+        lowered = None
+        blob_path = None
+        if export_dir is not None:
+            # disk-cached jax.export artifact: a warm process skips tracing
+            # the optimization loop entirely (the dominant host cost at the
+            # protocol shapes — 114 s at 1M/10k in round 2) and re-lowers
+            # from the serialized StableHLO, which then hits the persistent
+            # XLA compile cache.  Keyed on the loss STRUCTURE (jaxpr
+            # digest), shapes, solver settings, platform and package-source
+            # digest, so any code/data-shape change invalidates.
+            import os
+
+            global _SOURCE_DIGEST
+            if _SOURCE_DIGEST is None:
+                _SOURCE_DIGEST = _source_digest()
+            platform = jax.local_devices()[0].platform
+            ckey = "-".join(
+                [
+                    _jaxpr_digest(closed),
+                    _avals_digest((params, consts)),
+                    f"i{max_iters}t{tol}m{memory_size}",
+                    platform,
+                    _SOURCE_DIGEST,
+                ]
+            )
+            os.makedirs(export_dir, exist_ok=True)
+            blob_path = os.path.join(export_dir, f"lbfgs-{ckey}.jaxexport")
+            if os.path.exists(blob_path):
+                from jax import export as _export
+
+                with open(blob_path, "rb") as f:
+                    exported = _export.deserialize(f.read())
+                lowered = jax.jit(exported.call).lower(params, consts)
+        if lowered is None:
+            if export_dir is not None:
+                from jax import export as _export
+
+                exported = _export.export(
+                    jax.jit(run),
+                    disabled_checks=[
+                        _export.DisabledSafetyCheck.custom_call(c)
+                        for c in ("tpu_custom_call", "Sharding",
+                                  "annotate_device_placement")
+                    ],
+                )(params, consts)
+                with open(blob_path, "wb") as f:
+                    f.write(exported.serialize())
+                lowered = jax.jit(exported.call).lower(params, consts)
+            else:
+                lowered = jax.jit(run).lower(params, consts)
         timings["trace_s"] = round(_time.time() - t0, 2)
         t0 = _time.time()
         compiled = lowered.compile()

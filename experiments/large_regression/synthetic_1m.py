@@ -59,6 +59,7 @@ def run_split(args, seed, fit_cache=None):
     params, loss, iters = fit_lbfgs(
         jax.jit(model.training_loss), model.init_params(),
         max_iters=args.iters, cache=fit_cache,
+        export_dir="/tmp/asvgp_export_cache",
     )
     jax.block_until_ready(loss)
     t_opt = time.time() - t0

@@ -96,6 +96,7 @@ def main():
         params, loss, iters = fit_lbfgs(
             jax.jit(model.training_loss), model.init_params(),
             max_iters=args.iters, timings=opt_timings,
+            export_dir="/tmp/asvgp_export_cache",
         )
         jax.block_until_ready(loss)
     print(f"optimize: {clock.times['optimize']:.1f}s "

@@ -151,3 +151,40 @@ def test_fit_lbfgs_cache_refits_on_new_data():
         np.testing.assert_allclose(np.asarray(ka), np.asarray(kb), rtol=1e-6)
     # ...and must NOT reproduce the first fit
     assert abs(float(l2c) - float(l1)) > 1e-3
+
+
+def test_fit_lbfgs_export_dir_roundtrip(tmp_path):
+    """The jax.export disk cache must (a) write one artifact, (b) reuse it
+    for a same-structure fit on NEW data (consts are runtime arguments, not
+    baked in), and (c) reproduce the un-exported fit exactly."""
+    rng = np.random.RandomState(1)
+    x = rng.uniform(0.05, 0.95, 300)
+    y1 = np.sin(6 * x) + 0.1 * rng.randn(300)
+    y2 = np.cos(4 * x) + 0.2 * rng.randn(300)
+    basis = B3Spline(0.0, 1.0, 40)
+    d = str(tmp_path / "export")
+
+    m1 = GPR1D((x, y1), Matern32(), basis)
+    _, l1, _ = fit_lbfgs(
+        jax.jit(m1.training_loss), m1.init_params(), max_iters=40,
+        export_dir=d,
+    )
+    import os
+
+    blobs = os.listdir(d)
+    assert len(blobs) == 1 and blobs[0].endswith(".jaxexport")
+
+    m2 = GPR1D((x, y2), Matern32(), basis)
+    t2 = {}
+    p2e, l2e, _ = fit_lbfgs(
+        jax.jit(m2.training_loss), m2.init_params(), max_iters=40,
+        export_dir=d, timings=t2,
+    )
+    assert os.listdir(d) == blobs  # reused, not re-written
+    p2, l2, _ = fit_lbfgs(
+        jax.jit(m2.training_loss), m2.init_params(), max_iters=40,
+    )
+    np.testing.assert_allclose(float(l2e), float(l2), rtol=1e-9)
+    for ka, kb in zip(jax.tree.leaves(p2e), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(np.asarray(ka), np.asarray(kb), rtol=1e-6)
+    assert abs(float(l2e) - float(l1)) > 1e-6

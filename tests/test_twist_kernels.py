@@ -8,9 +8,10 @@ check at TILE=128 lives in tools/twist_probe.py + KERNELCHECK.json.
 
 Tolerances are the interpret-mode DS envelope, NOT a twist property: on
 identical inputs the untwisted kernels show bit-identical deviations
-(tools/twist_diag4.py: s_kuu err 7.671e-11 both) — XLA:CPU's
-excess-precision simplifications nibble at the double-single compensation
-patterns that Mosaic compiles faithfully on the TPU.
+(s_kuu err 7.671e-11 both) — XLA:CPU's excess-precision simplifications
+nibble at the double-single compensation patterns that Mosaic compiles
+faithfully on the TPU (full chase record: tools/twist_check.py docstring;
+hardware validation: tools/twist_probe.py, KERNELCHECK matern_core rows).
 """
 
 import jax

@@ -94,6 +94,73 @@ def banded_checks(results):
               flush=True)
 
 
+def matern_core_checks(results):
+    """Validate the PRODUCTION training path on hardware: GPR1D's loss
+    routes through ops.collapsed_core_matern → the tangent-fused kernels
+    (twisted by default since round 3), not the band-input collapsed_core
+    checked above (VERDICT r2 missing #2 / next #5).  θ-structured value +
+    gradients (var, ℓ, P, b, big) vs the CPU f64 scan path, at the
+    north-star size."""
+    from asvgp_tpu.banded import ops
+    from asvgp_tpu.basis import B3Spline
+    from asvgp_tpu.features.spline_features import make_kuu
+    from asvgp_tpu.models.kernels import Matern
+
+    cpu = jax.devices("cpu")[0]
+    tpu = jax.devices()[0]
+    rng = np.random.RandomState(7)
+
+    basis = B3Spline(0.0, 1.0, M)
+
+    def kuu_fn(v, l):
+        return make_kuu(Matern.tree_unflatten((3,), (v, l)), basis)
+
+    var = jnp.asarray(1.3)
+    ell = jnp.asarray(3.0 / M)
+    mask = np.arange(K + 1)[:, None] + np.arange(M)[None, :] < M
+    big = jnp.asarray(make_spd_band(K, M, seed=8) * mask)
+    p = big / 0.4 + kuu_fn(var, ell)
+    b = jnp.asarray(rng.randn(M))
+
+    def run(device, impl, twist):
+        with jax.default_device(device), ops.impl_scope(impl), \
+                ops.twist_scope(twist):
+
+            def f(args):
+                v, l, pb, bb, gg = args
+                outs = ops.collapsed_core_matern(kuu_fn, v, l, pb, bb, gg)
+                return (
+                    outs[0] + 2.0 * outs[1] + 0.5 * outs[2] + 0.25 * outs[3],
+                    jnp.stack(outs),
+                )
+
+            (scalar, vals), grads = jax.jit(
+                lambda a: jax.value_and_grad(f, has_aux=True)(a)
+            )((var, ell, p, b, big))
+            out = dict(
+                core_vals=vals, g_var=grads[0], g_ell=grads[1],
+                g_p=grads[2], g_b=grads[3], g_big=grads[4],
+            )
+            return jax.tree.map(np.asarray, jax.block_until_ready(out))
+
+    print("CPU f64 scan reference (matern core)...", flush=True)
+    ref = run(cpu, "scan", None)
+    print("TPU tangent-fused DS (twisted, production default)...", flush=True)
+    got_tw = run(tpu, "pallas_ds", True)
+    print("TPU tangent-fused DS (untwisted)...", flush=True)
+    got_un = run(tpu, "pallas_ds", False)
+    for name in ref:
+        results[f"matern_core/{name}"] = _rel(got_tw[name], ref[name])
+        results[f"matern_core_untwisted/{name}"] = _rel(
+            got_un[name], ref[name]
+        )
+        print(
+            f"  {name:12s} twist {results[f'matern_core/{name}']:.3e}"
+            f"  untwist {results[f'matern_core_untwisted/{name}']:.3e}",
+            flush=True,
+        )
+
+
 def block_checks(results):
     from asvgp_tpu.banded import block
 
@@ -141,6 +208,7 @@ def block_checks(results):
 def main():
     results = {"m": M, "k": K, "device": str(jax.devices()[0])}
     banded_checks(results)
+    matern_core_checks(results)
     block_checks(results)
     worst = max(
         v for kk, v in results.items() if isinstance(v, float)

@@ -3,6 +3,17 @@
 Patches pallas_ds_twist.TILE down to 8 so the statically-unrolled kernel
 bodies interpret in seconds on the 1-core host (lane alignment only
 matters on real hardware).  Compares against dense f64 references.
+
+Record of the round-2 precision chase (the since-pruned twist_diag{,2,3,4}
+scratch probes): interpret-mode twisted errors ~1e-10 were bisected to the
+double-single compensation being nibbled by XLA:CPU's excess-precision
+simplifications, NOT to the twist/seed logic — on identical inputs the
+UNTWISTED kernels show bit-identical deviations (s_kuu err 7.671e-11 both
+twisted and untwisted), and an f64 seeded-Takahashi replay of kernel B on
+kernel A's outputs is exact.  Mosaic on the real TPU compiles the DS
+patterns faithfully: the hardware run (tools/twist_probe.py, round 3)
+measured worst rel err 4.2e-13 vs the CPU f64 oracle including full
+custom-VJP gradients, and value+grad 22.2 -> 13.6 ms at m=10^4.
 """
 
 import jax

@@ -58,34 +58,65 @@ def panel_chol_ds(sh, sl):
     """Factor one block column: col[0] = chol(s[0]), col[p] = s[p] L00^{-T}.
 
     s: (W+1, B, B) DS pair (block 0 = full symmetric diagonal block).
-    Statically unrolled rank-1 sweep over the B columns; garbage-tolerant
-    (see module docstring).  Returns the (W+1, B, B) DS pair of the factor
-    column, block 0 masked lower-triangular.
+    The rank-1 double-single sweep runs over the DIAGONAL block only
+    (garbage-tolerant, see module docstring); the W off blocks are then
+    one exact-bf16 MXU matmul against the triangular inverse of L00
+    (round 3: the old sweep updated the full (W+1)·B×B panel per column —
+    5× the VPU work at eNATL W=4, and the block Cholesky dominated the
+    Kron step at ~70 of 90 ms).  Returns the (W+1, B, B) DS pair of the
+    factor column, block 0 masked lower-triangular.
     """
     Wp1, B, _ = sh.shape
-    mh, ml = sh, sl
-    cols_h, cols_l = [], []
+    mh, ml = sh[0], sl[0]
+    # fused Cholesky ⊗ triangular-inverse sweep: inverse row c needs only
+    # the (just computed) factor column c, so the two recursions share one
+    # B-step chain instead of running back to back.
+    th = jnp.eye(B, dtype=jnp.float32)
+    tl = jnp.zeros((B, B), jnp.float32)
+    below = jnp.arange(B)
+    cols_h, cols_l, rows_h, rows_l = [], [], [], []
     for c in range(B):
-        rh, rl = ds.rsqrt(mh[0, c, c], ml[0, c, c])
-        lh_, ll_ = ds.mul(mh[:, :, c], ml[:, :, c], rh, rl)  # (W+1, B)
+        rh, rl = ds.rsqrt(mh[c, c], ml[c, c])
+        lh_, ll_ = ds.mul(mh[:, c], ml[:, c], rh, rl)  # (B,)
         cols_h.append(lh_)
         cols_l.append(ll_)
+        # inverse row: 1/L[c,c] = rsqrt(d) exactly (L[c,c] = sqrt(d))
+        xh, xl = ds.mul(th[c, :], tl[c, :], rh, rl)
+        rows_h.append(xh)
+        rows_l.append(xl)
         if c < B - 1:
             ph, pl = ds.mul(
-                lh_[:, :, None], ll_[:, :, None],
-                lh_[0][None, None, :], ll_[0][None, None, :],
+                lh_[:, None], ll_[:, None], lh_[None, :], ll_[None, :]
             )
             mh, ml = ds.sub(mh, ml, ph, pl)
-    lh = jnp.stack(cols_h, axis=-1)
-    ll = jnp.stack(cols_l, axis=-1)
-    # mask the garbage: block 0 strictly lower+diag; off blocks are fully
-    # valid.  Use where (NOT multiply): garbage may be inf/NaN.
+            # the garbage-tolerant factor column has junk ABOVE the
+            # diagonal; the inverse update must see exact zeros there or
+            # it would corrupt already-emitted rows
+            keep = (below >= c)
+            lzh = jnp.where(keep, lh_, 0.0)
+            lzl = jnp.where(keep, ll_, 0.0)
+            qh, ql = ds.mul(lzh[:, None], lzl[:, None], xh[None, :], xl[None, :])
+            th, tl = ds.sub(th, tl, qh, ql)
+    l0h = jnp.stack(cols_h, axis=-1)
+    l0l = jnp.stack(cols_l, axis=-1)
+    # mask the factor garbage.  Use where (NOT multiply): it may be inf/NaN.
     tril = jnp.tril(jnp.ones((B, B), jnp.bool_))
-    keep = jnp.concatenate(
-        [tril[None], jnp.ones((Wp1 - 1, B, B), jnp.bool_)], axis=0
-    )
     zero = jnp.zeros((), jnp.float32)
-    return jnp.where(keep, lh, zero), jnp.where(keep, ll, zero)
+    l0h = jnp.where(tril, l0h, zero)
+    l0l = jnp.where(tril, l0l, zero)
+    if Wp1 == 1:
+        return l0h[None], l0l[None]
+    ivh = jnp.stack(rows_h, axis=0)
+    ivl = jnp.stack(rows_l, axis=0)
+    ivh = jnp.where(tril, ivh, zero)
+    ivl = jnp.where(tril, ivl, zero)
+    offh, offl = _matmul_ds_raw(
+        sh[1:].reshape((Wp1 - 1) * B, B), sl[1:].reshape((Wp1 - 1) * B, B),
+        jnp.swapaxes(ivh, -1, -2), jnp.swapaxes(ivl, -1, -2),
+    )
+    lh = jnp.concatenate([l0h[None], offh.reshape(Wp1 - 1, B, B)], axis=0)
+    ll = jnp.concatenate([l0l[None], offl.reshape(Wp1 - 1, B, B)], axis=0)
+    return lh, ll
 
 
 def _tri_inv_one_ds(lh, ll):

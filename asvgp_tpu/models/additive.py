@@ -167,7 +167,9 @@ class GPRAdditive:
         from asvgp_tpu.banded import ops as _bops
 
         with _bops.impl_scope(self.backend):
-            return self._predict_f_inner(params, Xnew)
+            if not hasattr(self, "_predict_jit"):
+                self._predict_jit = jax.jit(self._predict_f_inner)
+            return self._predict_jit(params, jnp.asarray(Xnew))
 
     def _predict_f_inner(self, params, Xnew):
         kernels, lik = self._build(params)

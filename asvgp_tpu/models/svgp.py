@@ -143,6 +143,13 @@ class SVGP1D:
     def predict_f(self, params, Xnew, full_cov: bool = False):
         if full_cov:
             raise NotImplementedError("full_cov prediction is not implemented")
+        if not hasattr(self, "_predict_jit"):
+            self._predict_jit = jax.jit(self._predict_f_arrays)
+        return self._predict_jit(
+            params, jnp.reshape(jnp.asarray(Xnew), (-1,))
+        )
+
+    def _predict_f_arrays(self, params, Xnew):
         kernel, _ = self._build(params)
         R = self._r_band(params)
         sigma_band = banded.takahashi_inverse_band(R)

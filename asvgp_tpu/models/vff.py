@@ -123,6 +123,11 @@ class GPRVFF:
     def predict_f(self, params, Xnew, full_cov: bool = False):
         if full_cov:
             raise NotImplementedError("full_cov prediction is not implemented")
+        if not hasattr(self, "_predict_jit"):
+            self._predict_jit = jax.jit(self._predict_f_arrays)
+        return self._predict_jit(params, jnp.asarray(Xnew))
+
+    def _predict_f_arrays(self, params, Xnew):
         kernel, lik, sigma2, l_kuu, l_p = self._factors(params)
         phi = self.basis.evaluate(Xnew)  # (n*, m)
         c = dsx.solve_triangular_auto(l_p, self.kuf_y, True, False) / sigma2

@@ -103,5 +103,8 @@ def compute_additive_stats_sharded(bases, X, y, mesh, axis: str = "data") -> Add
     fn = jax.shard_map(
         shard_fn, mesh=mesh, in_specs=(P(axis), P(axis)), out_specs=P()
     )
+    from asvgp_tpu.stats.sufficient import _unmesh
+
     with jax.set_mesh(mesh):
-        return fn(X, jnp.reshape(y, (-1,)))
+        out = fn(X, jnp.reshape(y, (-1,)))
+    return _unmesh(out, mesh)

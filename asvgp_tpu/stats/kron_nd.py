@@ -127,8 +127,11 @@ def compute_kron_stats_nd_sharded(bases, X, y, mesh, axis: str = "data") -> Kron
     fn = jax.shard_map(
         shard_fn, mesh=mesh, in_specs=(P(axis), P(axis)), out_specs=P()
     )
+    from asvgp_tpu.stats.sufficient import _unmesh
+
     with jax.set_mesh(mesh):
-        return fn(X, jnp.reshape(y, (-1,)))
+        out = fn(X, jnp.reshape(y, (-1,)))
+    return _unmesh(out, mesh)
 
 
 def _shift_row(row, s, m):

@@ -20,6 +20,7 @@ import dataclasses
 from functools import partial
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
@@ -118,6 +119,23 @@ def compute_stats(basis, X, y) -> SufficientStats:
     return _stats_local(basis, X, y)
 
 
+def _unmesh(tree, mesh):
+    """Move fully-replicated shard_map outputs off the mesh onto its first
+    device as plain single-device arrays.  The psum'd statistics are
+    replicated, but under jax's explicit-sharding types they stay tagged
+    with the mesh — which then poisons later single-device programs (the
+    banded scans' dynamic_update_slice rejects mixed shardings inside the
+    fit loop; caught by tests/test_dp_protocol.py)."""
+    dev = list(np.asarray(mesh.devices).flat)[0]
+    # host round-trip, NOT device_put: under jax's explicit-sharding types a
+    # device_put keeps the Explicit('data') tag in the aval, which still
+    # fails sharding type checks downstream.  The statistics are m-sized, so
+    # the copy is trivial next to the O(N) compute they summarize.
+    return jax.tree.map(
+        lambda a: jax.device_put(np.asarray(a), dev), tree
+    )
+
+
 def compute_stats_sharded(basis, X, y, mesh, axis: str = "data") -> SufficientStats:
     """Data-parallel sufficient statistics over a device mesh.
 
@@ -138,7 +156,8 @@ def compute_stats_sharded(basis, X, y, mesh, axis: str = "data") -> SufficientSt
         out_specs=P(),
     )
     with jax.set_mesh(mesh):
-        return fn(jnp.reshape(X, (-1,)), jnp.reshape(y, (-1,)))
+        out = fn(jnp.reshape(X, (-1,)), jnp.reshape(y, (-1,)))
+    return _unmesh(out, mesh)
 
 
 def pad_for_sharding(X, y, num_shards: int):
@@ -173,4 +192,5 @@ def compute_stats_sharded_masked(basis, X, y, w, mesh, axis: str = "data") -> Su
         out_specs=P(),
     )
     with jax.set_mesh(mesh):
-        return fn(jnp.reshape(X, (-1,)), jnp.reshape(y, (-1,)), jnp.reshape(w, (-1,)))
+        out = fn(jnp.reshape(X, (-1,)), jnp.reshape(y, (-1,)), jnp.reshape(w, (-1,)))
+    return _unmesh(out, mesh)

@@ -103,14 +103,31 @@ def main():
           f"(ELBO={-float(loss):.2f}, {int(iters)} iters, "
           f"phases {opt_timings})")
 
+    import time as _time
+
     with clock.section("predict"):
         # factor once, predict many: posterior() caches the block
         # factorization + Takahashi band; both metrics reuse it
+        t0 = _time.time()
         post = model.posterior(params)
+        jax.block_until_ready(post.w_flat)
+        t_factor = _time.time() - t0
+        t0 = _time.time()
         mean, var = post.predict_f(jnp.asarray(Xte))
         ld = post.predict_log_density((Xte, yte))
         jax.block_until_ready(mean)
-    print(f"predict: {clock.times['predict']:.1f}s ({args.n_test} points)")
+        t_cold = _time.time() - t0
+        t0 = _time.time()
+        mean2, _ = post.predict_f(jnp.asarray(Xte))
+        jax.block_until_ready(mean2)
+        t_warm = _time.time() - t0
+    pred_phases = {
+        "factor_s": round(t_factor, 2),
+        "cold_s": round(t_cold, 2),
+        "warm_exec_s": round(t_warm, 2),
+    }
+    print(f"predict: {clock.times['predict']:.1f}s ({args.n_test} points, "
+          f"phases {pred_phases})")
 
     print(f"MSE = {float(mse(yte, mean)):.6f}")
     print(f"NLL = {float(nlpd(ld)):.6f}")
@@ -134,6 +151,7 @@ def main():
                         k: round(v, 2) for k, v in clock.summary().items()
                     },
                     "opt_phases_s": opt_timings,
+                    "pred_phases_s": pred_phases,
                 },
                 f,
                 indent=1,

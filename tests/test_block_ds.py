@@ -57,6 +57,40 @@ def test_block_cholesky_and_solves_ds(ds_impl, W, nb, B):
                                rtol=1e-9, atol=1e-11)
 
 
+def test_fused_sweep_matches_split_path():
+    """The TPU-only fused Cholesky⊗inverse sweep (block_ds._fused_sweep_ds)
+    must agree with the portable split path (diag sweep + tri-inv) that the
+    CPU tests exercise everywhere else.  Outputs stay a raw tuple: stacking
+    the hi/lo trees into one array is exactly the consumer shape that sends
+    XLA:CPU's fusion into the superlinear-codegen hole this test guards."""
+    from asvgp_tpu.banded import block_ds, ds
+
+    B = 6
+    rng = np.random.RandomState(7)
+    dense = rng.randn(B, B) * 0.2
+    a0 = dense @ dense.T + 2.0 * B * np.eye(B)
+    mh, ml = ds.split_f64(jnp.asarray(a0))
+
+    fh, fl, rih, ril = jax.jit(block_ds._fused_sweep_ds)(mh, ml)
+    dh, dl = jax.jit(block_ds._diag_sweep_ds)(mh, ml)
+    tril = np.tril(np.ones((B, B), bool))
+    np.testing.assert_allclose(
+        np.where(tril, np.asarray(fh) + np.asarray(fl), 0.0),
+        np.where(tril, np.asarray(dh) + np.asarray(dl), 0.0),
+        rtol=1e-13, atol=1e-15,
+    )
+    l0h = jnp.where(jnp.asarray(tril), dh, 0.0)
+    l0l = jnp.where(jnp.asarray(tril), dl, 0.0)
+    sih, sil = jax.jit(block_ds._tri_inv_one_ds)(l0h, l0l)
+    got_iv = np.where(tril, np.asarray(rih) + np.asarray(ril), 0.0)
+    want_iv = np.asarray(sih) + np.asarray(sil)
+    np.testing.assert_allclose(got_iv, want_iv, rtol=1e-11, atol=1e-13)
+    # and both must invert the factor
+    lmat = np.where(tril, np.asarray(dh) + np.asarray(dl), 0.0)
+    # (merged-f64 product of the DS pairs: expect ~1e-9, not full DS level)
+    np.testing.assert_allclose(got_iv @ lmat, np.eye(B), atol=1e-7)
+
+
 @pytest.mark.parametrize("W,nb,B", [(1, 3, 4), (2, 5, 3)])
 def test_block_ds_gradients(ds_impl, W, nb, B):
     """Gradient of a logdet+solve scalar through the DS block ops must match

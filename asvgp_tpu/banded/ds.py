@@ -127,3 +127,21 @@ def rsqrt(yh, yl):
     l = sl + pl
     h = sh + l
     return h, l - (h - sh)
+
+
+def pad_rows(x, k):
+    """``jnp.pad(x, ((0, k), (0, 0)))`` for use INSIDE Mosaic kernels.
+
+    jnp.pad is a jit-wrapped jax.numpy function whose scalar fill constant
+    is a Python int: under x64 it enters the kernel jaxpr as an int64
+    scalar converted to the array dtype, and jax.export's forward-compat
+    Mosaic lowering of that convert recurses forever
+    (_convert_helper int64->float32 re-binds itself; observed on the axon
+    platform, jax 0.9).  Concatenating explicit zeros of the input dtype
+    sidesteps the integer constant entirely.
+    """
+    if k == 0:
+        return x
+    return jnp.concatenate(
+        [x, jnp.zeros((k,) + x.shape[1:], x.dtype)], axis=0
+    )

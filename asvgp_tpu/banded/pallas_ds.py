@@ -72,8 +72,8 @@ def _chol_fwd_ds_kernel(ah_ref, al_ref, mask_ref, oh_ref, ol_ref):
         colsh, colsl = [], []
         for j in range(TILE):
             ach, acl = Xh[:, j:j + 1], Xl[:, j:j + 1]
-            Wph = jnp.pad(Wh, ((0, k), (0, 0)))
-            Wpl = jnp.pad(Wl, ((0, k), (0, 0)))
+            Wph = ds.pad_rows(Wh, k)
+            Wpl = ds.pad_rows(Wl, k)
             sh = jnp.zeros((k + 1, 1), f32)
             sl = jnp.zeros((k + 1, 1), f32)
             for p in range(1, k + 1):
@@ -174,8 +174,8 @@ def _chol_bwd_ds_kernel(lh_ref, ll_ref, lph_ref, lpl_ref, cth_ref, ctl_ref,
             sbh, sbl = -abh, -abl
 
             Wbar = []
-            Wph = jnp.pad(Wh, ((0, k), (0, 0)))
-            Wpl = jnp.pad(Wl, ((0, k), (0, 0)))
+            Wph = ds.pad_rows(Wh, k)
+            Wpl = ds.pad_rows(Wl, k)
             from jax.experimental.pallas import tpu as pltpu
 
             for p in range(1, k + 1):

@@ -98,8 +98,8 @@ def _chol_pair_solve_kernel(ah_ref, al_ref, mask_ref, bh_ref, bl_ref,
                 sah, sal = ds.add(sah, sal, th, tl)
             rbh, rbl = ds.sub(bh[0, j], bl[0, j], sah, sal)
             # ---- pair Cholesky column -----------------------------------
-            Wph = jnp.pad(Wh, ((0, k), (0, 0)))
-            Wpl = jnp.pad(Wl, ((0, k), (0, 0)))
+            Wph = ds.pad_rows(Wh, k)
+            Wpl = ds.pad_rows(Wl, k)
             sh = jnp.zeros((k + 1, 2), f32)
             sl = jnp.zeros((k + 1, 2), f32)
             for p in range(1, k + 1):

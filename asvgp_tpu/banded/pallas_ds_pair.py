@@ -96,8 +96,8 @@ def _chol_fwd_pair_kernel(ah_ref, al_ref, mask_ref, oh_ref, ol_ref):
         for j in range(TILE):
             ach = Xh[:, 2 * j:2 * j + 2]
             acl = Xl[:, 2 * j:2 * j + 2]
-            Wph = jnp.pad(Wh, ((0, k), (0, 0)))
-            Wpl = jnp.pad(Wl, ((0, k), (0, 0)))
+            Wph = ds.pad_rows(Wh, k)
+            Wpl = ds.pad_rows(Wl, k)
             sh = jnp.zeros((k + 1, 2), f32)
             sl = jnp.zeros((k + 1, 2), f32)
             for p in range(1, k + 1):
@@ -204,8 +204,8 @@ def _chol_bwd_pair_kernel(lh_ref, ll_ref, lph_ref, lpl_ref, cth_ref, ctl_ref,
             sbh, sbl = -abh, -abl
 
             Wbar = []
-            Wph = jnp.pad(Wh, ((0, k), (0, 0)))
-            Wpl = jnp.pad(Wl, ((0, k), (0, 0)))
+            Wph = ds.pad_rows(Wh, k)
+            Wpl = ds.pad_rows(Wl, k)
             for p in range(1, k + 1):
                 gph = Wh[p:p + 1, 2 * (p - 1):2 * p]
                 gpl = Wl[p:p + 1, 2 * (p - 1):2 * p]

@@ -112,8 +112,8 @@ def _chol_pair_solve_tan_kernel(
                 sah, sal = ds.add(sah, sal, th_, tl_)
             rbh, rbl = ds.sub(bh[0, j], bl[0, j], sah, sal)
             # ---- pair Cholesky column -----------------------------------
-            Wph = jnp.pad(Wh, ((0, k), (0, 0)))
-            Wpl = jnp.pad(Wl, ((0, k), (0, 0)))
+            Wph = ds.pad_rows(Wh, k)
+            Wpl = ds.pad_rows(Wl, k)
             sh = jnp.zeros((k + 1, 2), f32)
             sl = jnp.zeros((k + 1, 2), f32)
             for p in range(1, k + 1):
@@ -146,8 +146,8 @@ def _chol_pair_solve_tan_kernel(
             # ---- Kuu-lane Cholesky JVP (dead P lane: zero tangent) ------
             tach = Th[:, 2 * j:2 * j + 2]
             tacl = Tl[:, 2 * j:2 * j + 2]
-            TWph = jnp.pad(TWh, ((0, k), (0, 0)))
-            TWpl = jnp.pad(TWl, ((0, k), (0, 0)))
+            TWph = ds.pad_rows(TWh, k)
+            TWpl = ds.pad_rows(TWl, k)
             tsh = jnp.zeros((k + 1, 2), f32)
             tsl = jnp.zeros((k + 1, 2), f32)
             for p in range(1, k + 1):

@@ -202,8 +202,8 @@ def _chol_quad_solve_tan_kernel(
             rbRh, rbRl = ds.sub(bh[0, 2 * j + 1], bl[0, 2 * j + 1],
                                 saRh, saRl)
             # ---- quad Cholesky column -----------------------------------
-            Wph = jnp.pad(Wh, ((0, k), (0, 0)))
-            Wpl = jnp.pad(Wl, ((0, k), (0, 0)))
+            Wph = ds.pad_rows(Wh, k)
+            Wpl = ds.pad_rows(Wl, k)
             sh = jnp.zeros((k + 1, 4), f32)
             sl = jnp.zeros((k + 1, 4), f32)
             for p in range(1, k + 1):
@@ -250,8 +250,8 @@ def _chol_quad_solve_tan_kernel(
             # ---- quad Cholesky JVP (dead P lanes: zero tangent) ---------
             tach = Th[:, 4 * j:4 * j + 4]
             tacl = Tl[:, 4 * j:4 * j + 4]
-            TWph = jnp.pad(TWh, ((0, k), (0, 0)))
-            TWpl = jnp.pad(TWl, ((0, k), (0, 0)))
+            TWph = ds.pad_rows(TWh, k)
+            TWpl = ds.pad_rows(TWl, k)
             tsh = jnp.zeros((k + 1, 4), f32)
             tsl = jnp.zeros((k + 1, 4), f32)
             for p in range(1, k + 1):

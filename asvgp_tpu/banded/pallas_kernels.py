@@ -143,6 +143,17 @@ def _next_tiles(x3):
     return jnp.concatenate([x3[1:], zero], axis=0)
 
 
+def _pad_rows_f32(x, k):
+    """In-kernel ``jnp.pad(x, ((0, k), (0, 0)))``: jnp.pad's Python-int fill
+    constant becomes an int64 scalar under x64, and jax.export's Mosaic
+    lowering recurses forever converting it (see ds.pad_rows)."""
+    if k == 0:
+        return x
+    return jnp.concatenate(
+        [x, jnp.zeros((k,) + x.shape[1:], x.dtype)], axis=0
+    )
+
+
 # ===========================================================================
 # banded Cholesky — forward
 # ===========================================================================
@@ -160,7 +171,7 @@ def _chol_fwd_kernel(a_ref, mask_ref, o_ref):
         cols = []
         for j in range(TILE):
             a_col = X[:, j:j + 1]
-            Wpad = jnp.pad(W, ((0, k), (0, 0)))
+            Wpad = _pad_rows_f32(W, k)
             s = jnp.zeros((k + 1, 1), dtype)
             for p in range(1, k + 1):
                 g_p = W[p, p - 1]
@@ -236,7 +247,7 @@ def _chol_bwd_kernel(l_ref, lprev_ref, cot_ref, mask_ref, o_ref):
             sbar = -abar
 
             Wbar_cols = []
-            Wpad = jnp.pad(W, ((0, k), (0, 0)))
+            Wpad = _pad_rows_f32(W, k)
             for p in range(1, k + 1):
                 g_p = W[p, p - 1]
                 # wb[q] = s̄_{q-p} g_p for q >= p (roll keeps offset-0 layout)

@@ -22,6 +22,11 @@ import jax
 if os.environ.get("ASVGP_FORCE_CPU"):  # some images ignore JAX_PLATFORMS
     jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+# persistent XLA executable cache: on this image TPU compiles go through a
+# remote relay (minutes cold for the DS kernels) — cache them across runs
+os.makedirs("/tmp/asvgp_jax_cache", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", "/tmp/asvgp_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402

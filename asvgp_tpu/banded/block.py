@@ -217,6 +217,8 @@ def _chol_block_adjoint(l_blocks: jnp.ndarray, lbar: jnp.ndarray) -> jnp.ndarray
         sb_new = jnp.concatenate([col[None], sb[:-1]], axis=0)
         return sb_new, col
 
+    from asvgp_tpu.banded import block_ds
+
     init = jnp.zeros((W, W + 1, B, B), dtype)
     _, cols = lax.scan(
         step,
@@ -228,6 +230,8 @@ def _chol_block_adjoint(l_blocks: jnp.ndarray, lbar: jnp.ndarray) -> jnp.ndarray
             jnp.arange(nb),
         ),
         reverse=True,
+        # boundary-bound at nb=100 like the block_ds scans (TPU-only >1)
+        unroll=block_ds.scan_unroll(),
     )
     return jnp.moveaxis(cols, 0, 1)
 

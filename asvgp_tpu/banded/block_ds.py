@@ -33,12 +33,35 @@ matrix P (reference densifies P instead, asvgp/gpr.py:292-293).
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 from jax import lax
 
 from asvgp_tpu.banded import ds
 from asvgp_tpu.banded.dsx import _matmul_ds_raw
+
+
+def scan_unroll() -> int:
+    """lax.scan unroll factor for the nb-length block scans.
+
+    On this platform a scan iteration carries ~134µs of loop-boundary
+    overhead (CLAUDE.md): at eNATL shape (nb=100) the four nb-scans of
+    the Kron ELBO value+grad (chol fwd, lower-solve fwd, upper-solve bwd,
+    chol-adjoint bwd) are boundary-bound, not compute-bound.  Unrolling
+    packs U block columns per loop trip — identical math in identical
+    order (lax.scan's unroll replicates the body; it does not
+    reassociate) — so the boundary count drops U-fold.  TPU-only: on
+    XLA:CPU a larger fused body risks the kLoop codegen blowup documented
+    in the module docstring, and the CPU tests are not boundary-bound.
+    ASVGP_BLOCK_UNROLL overrides (probing).  Default stays 1 until the
+    on-hardware A/B (tools/block_regress_probe.py) picks the winner.
+    """
+    v = os.environ.get("ASVGP_BLOCK_UNROLL")
+    if v is not None:
+        return max(1, int(v))
+    return 1
 
 
 def _split(x):
@@ -124,7 +147,38 @@ def _fused_sweep_ds(mh, ml):
     )
 
 
-def panel_chol_ds(sh, sl):
+def _panel_chol_full_ds(sh, sl):
+    """Round-2 panel variant: one rank-1 sweep over the FULL (W+1, B, B)
+    panel (off blocks updated in the same chain as the diagonal block).
+    More VPU work per column than the diag-sweep + MXU off-block variant,
+    but ONE dependent update per column instead of two.  Kept selectable
+    (ASVGP_PANEL=full) for on-hardware A/B: the variants' critical paths
+    differ, and the sweep is latency-bound, not FLOP-bound."""
+    Wp1, B, _ = sh.shape
+    mh, ml = sh, sl
+    cols_h, cols_l = [], []
+    for c in range(B):
+        rh, rl = ds.rsqrt(mh[0, c, c], ml[0, c, c])
+        lh_, ll_ = ds.mul(mh[:, :, c], ml[:, :, c], rh, rl)  # (W+1, B)
+        cols_h.append(lh_)
+        cols_l.append(ll_)
+        if c < B - 1:
+            ph, pl = ds.mul(
+                lh_[:, :, None], ll_[:, :, None],
+                lh_[0][None, None, :], ll_[0][None, None, :],
+            )
+            mh, ml = ds.sub(mh, ml, ph, pl)
+    lh = jnp.stack(cols_h, axis=-1)
+    ll = jnp.stack(cols_l, axis=-1)
+    tril = jnp.tril(jnp.ones((B, B), jnp.bool_))
+    keep = jnp.concatenate(
+        [tril[None], jnp.ones((Wp1 - 1, B, B), jnp.bool_)], axis=0
+    )
+    zero = jnp.zeros((), jnp.float32)
+    return jnp.where(keep, lh, zero), jnp.where(keep, ll, zero)
+
+
+def panel_chol_ds(sh, sl, variant=None):
     """Factor one block column: col[0] = chol(s[0]), col[p] = s[p] L00^{-T}.
 
     s: (W+1, B, B) DS pair (block 0 = full symmetric diagonal block).
@@ -138,21 +192,44 @@ def panel_chol_ds(sh, sl):
     separate substitution sweep — same math, split to keep XLA:CPU fusion
     sizes sane (see _fused_sweep_ds).  Returns the (W+1, B, B) DS pair of
     the factor column, block 0 masked lower-triangular.
+
+    ASVGP_PANEL (or the ``variant`` arg) selects the diagonal-sweep
+    variant for on-hardware A/B: ``kernel`` (the dense-block Mosaic
+    kernel, pallas_ds_block.py), ``fused`` (XLA-level fused
+    factor⊗inverse chain — the TPU default), ``nofuse`` (split sweep +
+    substitution — the only variant safe on XLA:CPU, see module
+    docstring), ``full`` (round-2 full-panel sweep).
     """
+    if variant is None:
+        variant = os.environ.get("ASVGP_PANEL")
+    if variant == "full":
+        return _panel_chol_full_ds(sh, sl)
     Wp1, B, _ = sh.shape
     tril = jnp.tril(jnp.ones((B, B), jnp.bool_))
     zero = jnp.zeros((), jnp.float32)
-    fuse = jax.default_backend() == "tpu"
-    if fuse:
+    on_tpu = jax.default_backend() == "tpu"
+    if variant is None:
+        # default stays "fused" until the dense-block kernel's on-TPU
+        # validation artifact lands (tools/panel_kernel_probe.py) — flip
+        # only with evidence (round-2 verdict, weak #1)
+        variant = "fused" if on_tpu else "nofuse"
+    if variant == "kernel" and B > 128:
+        variant = "fused" if on_tpu else "nofuse"
+    if variant == "kernel":
+        from asvgp_tpu.banded.pallas_ds_block import chol_inv_dense_ds
+
+        l0h, l0l, ivh, ivl = chol_inv_dense_ds(sh[0], sl[0])
+    elif variant == "fused":
         l0h, l0l, ivh, ivl = _fused_sweep_ds(sh[0], sl[0])
     else:
         l0h, l0l = _diag_sweep_ds(sh[0], sl[0])
+        ivh = ivl = None
     # mask the factor garbage.  Use where (NOT multiply): it may be inf/NaN.
     l0h = jnp.where(tril, l0h, zero)
     l0l = jnp.where(tril, l0l, zero)
     if Wp1 == 1:
         return l0h[None], l0l[None]
-    if fuse:
+    if ivh is not None:
         ivh = jnp.where(tril, ivh, zero)
         ivl = jnp.where(tril, ivl, zero)
     else:
@@ -219,9 +296,13 @@ def cholesky_block_banded_ds(blocks):
     bh, bl = _split(blocks)
 
     if W == 0:
-        colh, coll = jax.vmap(lambda h, l: panel_chol_ds(h[None], l[None]))(
-            bh[0], bl[0]
-        )
+        # vmapped panels must avoid the Pallas variant: vmap of a
+        # pallas_call adds a grid dimension, and this platform rejects any
+        # grid (pallas_kernels.py docstring)
+        v = "fused" if jax.default_backend() == "tpu" else "nofuse"
+        colh, coll = jax.vmap(
+            lambda h, l: panel_chol_ds(h[None], l[None], variant=v)
+        )(bh[0], bl[0])
         return _merge(colh, coll).transpose(1, 0, 2, 3)
 
     zero_blk = jnp.zeros((B, B), jnp.float32)
@@ -286,6 +367,7 @@ def cholesky_block_banded_ds(blocks):
         step,
         init,
         (jnp.moveaxis(bh, 1, 0), jnp.moveaxis(bl, 1, 0), jnp.arange(nb)),
+        unroll=scan_unroll(),
     )
     return _merge(colsh, colsl).transpose(1, 0, 2, 3)
 
@@ -353,6 +435,7 @@ def solve_lower_block_banded_ds(l_blocks, b, linv=None):
             bh,
             bl,
         ),
+        unroll=scan_unroll(),
     )
     x = _merge(xsh, xsl).reshape(nb * B, r)
     return x[:, 0] if vec else x
@@ -404,6 +487,7 @@ def solve_upper_block_banded_transpose_ds(l_blocks, b, linv=None):
         init,
         (jnp.moveaxis(lh, 1, 0), jnp.moveaxis(ll, 1, 0), ivh, ivl, bh, bl),
         reverse=True,
+        unroll=scan_unroll(),
     )
     x = _merge(xsh, xsl).reshape(nb * B, r)
     return x[:, 0] if vec else x
@@ -493,5 +577,6 @@ def takahashi_inverse_block_banded_ds(l_blocks, linv=None):
         init,
         (jnp.moveaxis(lh, 1, 0), jnp.moveaxis(ll, 1, 0), ivh, ivl, jnp.arange(nb)),
         reverse=True,
+        unroll=scan_unroll(),
     )
     return _merge(colsh, colsl).transpose(1, 0, 2, 3)

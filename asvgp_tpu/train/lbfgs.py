@@ -146,6 +146,15 @@ def fit_lbfgs(loss_fn, params, *, max_iters: int = 500, tol: float = 1e-8,
     1M/10k in round 2).  The XLA *executable* is still produced by
     ``compile()``, which hits the persistent compile cache as usual.
     """
+    import os as _os
+
+    if export_dir is not None and _os.environ.get("ASVGP_NO_EXPORT") == "1":
+        # A/B kill-switch: the export path compiles from the jax.export
+        # ROUND-TRIPPED StableHLO even on a cold run (so the warm path is
+        # guaranteed identical); this forces the direct jit lowering to
+        # measure what the round-trip costs at runtime.
+        export_dir = None
+
     opt = optax.lbfgs(
         memory_size=memory_size,
         linesearch=optax.scale_by_zoom_linesearch(max_linesearch_steps=30),
@@ -233,7 +242,19 @@ def fit_lbfgs(loss_fn, params, *, max_iters: int = 500, tol: float = 1e-8,
             global _SOURCE_DIGEST
             if _SOURCE_DIGEST is None:
                 _SOURCE_DIGEST = _source_digest()
-            platform = jax.local_devices()[0].platform
+            # the platform the fit actually runs on: params are committed
+            # to the caller's device (e.g. northstar's CPU-f64 leg runs
+            # under jax.default_device(cpu) while the process default is
+            # the TPU, so local_devices()[0].platform would be wrong and
+            # the CPU leg would deserialize a TPU-exported blob)
+            platform = jax.default_backend()
+            for leaf in jax.tree.leaves(params):
+                devs = getattr(leaf, "devices", None)
+                if callable(devs):
+                    ds = devs()
+                    if ds:
+                        platform = next(iter(ds)).platform
+                        break
             ckey = "-".join(
                 [
                     _jaxpr_digest(closed),
@@ -250,13 +271,16 @@ def fit_lbfgs(loss_fn, params, *, max_iters: int = 500, tol: float = 1e-8,
 
                 with open(blob_path, "rb") as f:
                     exported = _export.deserialize(f.read())
-                lowered = jax.jit(exported.call).lower(params, consts)
+                # defense in depth vs stale/foreign blobs under this key
+                if platform in exported.platforms:
+                    lowered = jax.jit(exported.call).lower(params, consts)
         if lowered is None:
             if export_dir is not None:
                 from jax import export as _export
 
                 exported = _export.export(
                     jax.jit(run),
+                    platforms=[platform],
                     disabled_checks=[
                         _export.DisabledSafetyCheck.custom_call(c)
                         for c in ("tpu_custom_call", "Sharding",

@@ -18,28 +18,6 @@ import optax
 import optax.tree_utils as otu
 
 
-def _source_digest() -> str:
-    """Content hash of the asvgp_tpu package sources: any code change
-    invalidates on-disk exported artifacts (cheap: ~60 small files)."""
-    import hashlib
-    import os
-
-    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    h = hashlib.sha256()
-    for dirpath, dirnames, filenames in sorted(os.walk(root)):
-        dirnames.sort()
-        for fn in sorted(filenames):
-            if fn.endswith(".py"):
-                p = os.path.join(dirpath, fn)
-                h.update(p.encode())
-                with open(p, "rb") as f:
-                    h.update(f.read())
-    return h.hexdigest()[:16]
-
-
-_SOURCE_DIGEST = None
-
-
 def _hoist_closure(loss_fn, params):
     """(loss_fn, params) -> (closed_fn, consts) with closed-over arrays
     hoisted into explicit arguments: closed_fn(params, *consts) == loss_fn(params).
@@ -64,51 +42,6 @@ def _hoist_closure(loss_fn, params):
         return out[0]
 
     return closed_fn, consts, closed
-
-
-def _jaxpr_digest(closed) -> str:
-    """Process-stable structural hash of a ClosedJaxpr (primitives, avals,
-    simple params; sub-jaxprs recursively, memoized).  Deliberately skips
-    non-serializable eqn params (functions/objects print memory addresses,
-    which would make the key different in every process)."""
-    import hashlib
-
-    h = hashlib.sha256()
-    seen = set()
-    simple = (int, float, bool, str, bytes, type(None))
-
-    def hp(name, val):
-        if isinstance(val, simple):
-            h.update(f"{name}={val!r};".encode())
-        elif isinstance(val, (tuple, list)):
-            h.update(f"{name}[".encode())
-            for v in val:
-                hp("", v)
-            h.update(b"]")
-        elif hasattr(val, "jaxpr"):
-            visit(val.jaxpr)
-        elif type(val).__name__ == "Jaxpr":
-            visit(val)
-        else:
-            h.update(f"{name}:{type(val).__name__};".encode())
-
-    def visit(jx):
-        if id(jx) in seen:
-            h.update(b"ref;")
-            return
-        seen.add(id(jx))
-        for v in list(jx.constvars) + list(jx.invars):
-            h.update(str(v.aval).encode())
-        for eqn in jx.eqns:
-            h.update(eqn.primitive.name.encode())
-            for v in eqn.invars:
-                h.update(str(v).encode() if not hasattr(v, "aval")
-                         else str(v.aval).encode())
-            for name in sorted(eqn.params):
-                hp(name, eqn.params[name])
-
-    visit(closed.jaxpr)
-    return h.hexdigest()[:24]
 
 
 def fit_lbfgs(loss_fn, params, *, max_iters: int = 500, tol: float = 1e-8,
@@ -138,22 +71,26 @@ def fit_lbfgs(loss_fn, params, *, max_iters: int = 500, tol: float = 1e-8,
     loss (cheap — the kernel traces are cached) plus execution.  The caller
     must not vary max_iters/tol/memory_size under one cache.
 
-    ``export_dir``: optional directory for CROSS-PROCESS reuse of the traced
-    optimization loop via ``jax.export``: the first run serializes the
-    lowered StableHLO to disk; later processes with the same loss structure,
-    shapes, solver settings, platform and package sources deserialize it and
-    skip the trace (the dominant host cost at protocol shapes: 114 s at
-    1M/10k in round 2).  The XLA *executable* is still produced by
-    ``compile()``, which hits the persistent compile cache as usual.
+    ``export_dir``: optional directory for CROSS-PROCESS reuse of the
+    compiled optimization loop.  Default mode stores the compiled PjRt
+    EXECUTABLE (``jax.experimental.serialize_executable``): the cold run
+    compiles the direct jit lowering — exec performance structurally
+    identical to no caching — and serializes it; a warm process
+    deserializes in ~0.1 s, skipping both the loop trace (114 s at 1M/10k)
+    and the relay compile/load (358 s at eNATL).  ``ASVGP_CACHE_MODE=export``
+    selects the round-3 ``jax.export`` StableHLO path instead — kept ONLY as
+    the A/B control for tools/export_ab_probe.py: its round-trip changes
+    what XLA compiles and regressed eNATL exec 32.5 -> 213 s per 100 iters.
+    ``ASVGP_NO_EXPORT=1`` disables disk caching entirely.
     """
     import os as _os
 
     if export_dir is not None and _os.environ.get("ASVGP_NO_EXPORT") == "1":
-        # A/B kill-switch: the export path compiles from the jax.export
-        # ROUND-TRIPPED StableHLO even on a cold run (so the warm path is
-        # guaranteed identical); this forces the direct jit lowering to
-        # measure what the round-trip costs at runtime.
+        # kill-switch: force the direct, uncached jit path
         export_dir = None
+    cache_mode = _os.environ.get("ASVGP_CACHE_MODE", "pjrt")
+    if cache_mode not in ("pjrt", "export"):
+        raise ValueError(f"ASVGP_CACHE_MODE must be pjrt or export, got {cache_mode!r}")
 
     opt = optax.lbfgs(
         memory_size=memory_size,
@@ -207,11 +144,6 @@ def fit_lbfgs(loss_fn, params, *, max_iters: int = 500, tol: float = 1e-8,
             (a.shape, str(a.dtype)) for a in jax.tree.leaves(tree)
         )
 
-    def _avals_digest(tree):
-        import hashlib
-
-        return hashlib.sha256(repr(_avals(tree)).encode()).hexdigest()[:16]
-
     key = (_avals(params), _avals(consts))
     if cache is not None and cache.get("key") == key:
         compiled = cache["compiled"]
@@ -227,75 +159,88 @@ def fit_lbfgs(loss_fn, params, *, max_iters: int = 500, tol: float = 1e-8,
 
         timings = {} if timings is None else timings
         t0 = _time.time()
+        compiled = None
         lowered = None
         blob_path = None
+        save_blob = False
         if export_dir is not None:
-            # disk-cached jax.export artifact: a warm process skips tracing
-            # the optimization loop entirely (the dominant host cost at the
-            # protocol shapes — 114 s at 1M/10k in round 2) and re-lowers
-            # from the serialized StableHLO, which then hits the persistent
-            # XLA compile cache.  Keyed on the loss STRUCTURE (jaxpr
-            # digest), shapes, solver settings, platform and package-source
-            # digest, so any code/data-shape change invalidates.
+            # keyed on the loss STRUCTURE (jaxpr digest — recomputed from
+            # the live code every process, so real computation changes
+            # re-key automatically), shapes, solver settings, platform, and
+            # the kernel/train sources (Pallas kernel bodies are invisible
+            # to the jaxpr digest).  Unrelated package edits — comments,
+            # models/, experiments/ — do NOT invalidate.
             import os
 
-            global _SOURCE_DIGEST
-            if _SOURCE_DIGEST is None:
-                _SOURCE_DIGEST = _source_digest()
+            from asvgp_tpu.utils import exec_cache as _ec
+
             # the platform the fit actually runs on: params are committed
             # to the caller's device (e.g. northstar's CPU-f64 leg runs
             # under jax.default_device(cpu) while the process default is
             # the TPU, so local_devices()[0].platform would be wrong and
-            # the CPU leg would deserialize a TPU-exported blob)
-            platform = jax.default_backend()
-            for leaf in jax.tree.leaves(params):
-                devs = getattr(leaf, "devices", None)
-                if callable(devs):
-                    ds = devs()
-                    if ds:
-                        platform = next(iter(ds)).platform
-                        break
+            # the CPU leg would load a TPU-compiled blob)
+            device = _ec.params_device(params)
+            platform = device.platform
             ckey = "-".join(
                 [
-                    _jaxpr_digest(closed),
-                    _avals_digest((params, consts)),
+                    _ec.jaxpr_digest(closed),
+                    _ec.avals_digest((params, consts)),
                     f"i{max_iters}t{tol}m{memory_size}",
                     platform,
-                    _SOURCE_DIGEST,
+                    _ec.kernel_source_digest(),
                 ]
             )
             os.makedirs(export_dir, exist_ok=True)
-            blob_path = os.path.join(export_dir, f"lbfgs-{ckey}.jaxexport")
-            if os.path.exists(blob_path):
-                from jax import export as _export
-
-                with open(blob_path, "rb") as f:
-                    exported = _export.deserialize(f.read())
-                # defense in depth vs stale/foreign blobs under this key
-                if platform in exported.platforms:
-                    lowered = jax.jit(exported.call).lower(params, consts)
-        if lowered is None:
-            if export_dir is not None:
-                from jax import export as _export
-
-                exported = _export.export(
-                    jax.jit(run),
-                    platforms=[platform],
-                    disabled_checks=[
-                        _export.DisabledSafetyCheck.custom_call(c)
-                        for c in ("tpu_custom_call", "Sharding",
-                                  "annotate_device_placement")
-                    ],
-                )(params, consts)
-                with open(blob_path, "wb") as f:
-                    f.write(exported.serialize())
-                lowered = jax.jit(exported.call).lower(params, consts)
+            if cache_mode == "pjrt":
+                blob_path = os.path.join(export_dir, f"lbfgs-{ckey}.pjrt")
+                t_key = _time.time()
+                compiled = _ec.load_executable(blob_path, device)
+                if compiled is not None:
+                    # warm: no trace, no compile — trace_s is the key
+                    # computation (incl. the loss trace in _hoist_closure's
+                    # caller), load_s the deserialize
+                    timings["trace_s"] = round(t_key - t0, 2)
+                    timings["load_s"] = round(_time.time() - t_key, 2)
+                save_blob = compiled is None
             else:
+                # round-3 jax.export control path (A/B only — see docstring)
+                blob_path = os.path.join(export_dir, f"lbfgs-{ckey}.jaxexport")
+                if os.path.exists(blob_path):
+                    from jax import export as _export
+
+                    with open(blob_path, "rb") as f:
+                        exported = _export.deserialize(f.read())
+                    # defense in depth vs stale/foreign blobs under this key
+                    if platform in exported.platforms:
+                        lowered = jax.jit(exported.call).lower(params, consts)
+                if lowered is None:
+                    from jax import export as _export
+
+                    exported = _export.export(
+                        jax.jit(run),
+                        platforms=[platform],
+                        disabled_checks=[
+                            _export.DisabledSafetyCheck.custom_call(c)
+                            for c in ("tpu_custom_call", "Sharding",
+                                      "annotate_device_placement")
+                        ],
+                    )(params, consts)
+                    with open(blob_path, "wb") as f:
+                        f.write(exported.serialize())
+                    lowered = jax.jit(exported.call).lower(params, consts)
+        if compiled is None:
+            if lowered is None:
+                # the DIRECT jit lowering — no export round-trip, so the
+                # compiled loop is bit-identical to the uncached path
                 lowered = jax.jit(run).lower(params, consts)
-        timings["trace_s"] = round(_time.time() - t0, 2)
-        t0 = _time.time()
-        compiled = lowered.compile()
-        timings["load_s"] = round(_time.time() - t0, 2)
+            timings["trace_s"] = round(_time.time() - t0, 2)
+            t0 = _time.time()
+            compiled = lowered.compile()
+            if save_blob:
+                from asvgp_tpu.utils import exec_cache as _ec
+
+                _ec.save_executable(blob_path, compiled)
+            timings["load_s"] = round(_time.time() - t0, 2)
         if cache is not None:
             cache["key"] = key
             cache["compiled"] = compiled

@@ -138,7 +138,12 @@ def time_step(model, params, device, reps=5):
 def main():
     import os
 
+    from asvgp_tpu.utils.relay import ensure_tpu_ready
+
     dev = jax.devices()[0]
+    # absorb any relay grant-wait (~250 s after an abnormal prior exit)
+    # BEFORE any timed phase; report it separately
+    relay_wait_s = ensure_tpu_ready(dev)
     model, params, (t_pre_cold, t_pre_warm) = build(dev)
     step_s, t_compile, val = time_step(model, params, dev)
 
@@ -159,6 +164,7 @@ def main():
                 "vs_baseline": round(cpu_s / step_s, 3),
                 "extras": {
                     "device": str(dev),
+                    "relay_wait_s": round(relay_wait_s, 2),
                     "precompute_s": round(t_pre_cold, 3),
                     "precompute_warm_s": round(t_pre_warm, 3),
                     "compile_s": round(t_compile, 1),

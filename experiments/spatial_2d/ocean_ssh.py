@@ -84,6 +84,12 @@ def main():
         jax.make_mesh((args.mesh,), ("data",)) if args.mesh else None
     )
 
+    from asvgp_tpu.utils.relay import ensure_tpu_ready
+
+    # absorb any relay grant-wait before the timed phases (see utils/relay.py)
+    relay_wait_s = ensure_tpu_ready()
+    print(f"relay ready in {relay_wait_s:.1f}s", flush=True)
+
     clock = WallClock()
     with clock.section("precompute"):
         model = GPRKron((Xtr, ytr), kernels, bases, noise_variance=0.1, mesh=mesh)

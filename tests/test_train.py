@@ -153,10 +153,10 @@ def test_fit_lbfgs_cache_refits_on_new_data():
     assert abs(float(l2c) - float(l1)) > 1e-3
 
 
-def test_fit_lbfgs_export_dir_roundtrip(tmp_path):
-    """The jax.export disk cache must (a) write one artifact, (b) reuse it
-    for a same-structure fit on NEW data (consts are runtime arguments, not
-    baked in), and (c) reproduce the un-exported fit exactly."""
+def _export_roundtrip_case(tmp_path, suffix):
+    """The disk cache must (a) write one artifact, (b) reuse it for a
+    same-structure fit on NEW data (consts are runtime arguments, not
+    baked in), and (c) reproduce the uncached fit exactly."""
     rng = np.random.RandomState(1)
     x = rng.uniform(0.05, 0.95, 300)
     y1 = np.sin(6 * x) + 0.1 * rng.randn(300)
@@ -172,7 +172,7 @@ def test_fit_lbfgs_export_dir_roundtrip(tmp_path):
     import os
 
     blobs = os.listdir(d)
-    assert len(blobs) == 1 and blobs[0].endswith(".jaxexport")
+    assert len(blobs) == 1 and blobs[0].endswith(suffix)
 
     m2 = GPR1D((x, y2), Matern32(), basis)
     t2 = {}
@@ -188,3 +188,35 @@ def test_fit_lbfgs_export_dir_roundtrip(tmp_path):
     for ka, kb in zip(jax.tree.leaves(p2e), jax.tree.leaves(p2)):
         np.testing.assert_allclose(np.asarray(ka), np.asarray(kb), rtol=1e-6)
     assert abs(float(l2e) - float(l1)) > 1e-6
+
+
+def test_fit_lbfgs_pjrt_cache_roundtrip(tmp_path):
+    # default mode: the compiled PjRt executable is the disk artifact
+    _export_roundtrip_case(tmp_path, ".pjrt")
+
+
+def test_fit_lbfgs_export_mode_roundtrip(tmp_path, monkeypatch):
+    # round-3 jax.export control path, kept for the A/B probe
+    monkeypatch.setenv("ASVGP_CACHE_MODE", "export")
+    _export_roundtrip_case(tmp_path, ".jaxexport")
+
+
+def test_exec_cache_key_ignores_unrelated_sources():
+    """A comment edit in e.g. models/vff.py must not invalidate cached
+    fit-loop executables (round-3 VERDICT weak #7): the source component of
+    the cache key covers only the kernel (banded/) and train/ modules whose
+    bodies a structural jaxpr digest cannot see."""
+    import os
+
+    from asvgp_tpu.utils import exec_cache
+
+    paths = exec_cache.digest_paths()
+    rel = {os.path.relpath(p, os.path.dirname(os.path.dirname(
+        exec_cache.__file__))) for p in paths}
+    assert any(p.startswith("banded/") and p.endswith("pallas_ds.py")
+               for p in rel)
+    assert any(p == "train/lbfgs.py" for p in rel)
+    assert not any(p.startswith("models/") for p in rel)
+    assert not any(p.startswith("features/") for p in rel)
+    # and the digest is deterministic within a process
+    assert exec_cache.kernel_source_digest() == exec_cache.kernel_source_digest()

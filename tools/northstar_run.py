@@ -52,8 +52,14 @@ def run_leg(device, train, test, steady=False):
     from asvgp_tpu.models import GPR1D, Matern32
     from asvgp_tpu.train import fit_lbfgs, mse, nlpd
 
+    from asvgp_tpu.utils.relay import ensure_tpu_ready
+
     (xtr, ytr), (xte, yte) = train, test
     fit_cache = {} if steady else None
+    # absorb any relay grant-wait BEFORE the timed phases (a prior process
+    # dying mid-TPU-call stalls the next process's first op ~250 s; round-3
+    # NORTHSTAR committed that wait inside t_precompute_s)
+    relay_wait_s = ensure_tpu_ready(device)
     with jax.default_device(device):
         t0 = time.time()
         model = GPR1D(
@@ -97,6 +103,7 @@ def run_leg(device, train, test, steady=False):
 
     res = {
         "device": str(device),
+        "relay_wait_s": round(relay_wait_s, 2),
         "elbo": -float(loss),
         "iters": int(iters),
         "nlpd": float(nlpd(ld)),

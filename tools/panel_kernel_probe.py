@@ -64,8 +64,11 @@ def main():
     from asvgp_tpu.banded import block, block_ds, ds
     from asvgp_tpu.banded.pallas_ds_block import chol_inv_dense_ds
 
+    from asvgp_tpu.utils.relay import ensure_tpu_ready
+
     dev = jax.devices()[0]
     print("device:", dev, flush=True)
+    print(f"relay ready in {ensure_tpu_ready(dev):.1f}s", flush=True)
     rng = np.random.RandomState(0)
     results = {}
     with jax.default_device(dev):

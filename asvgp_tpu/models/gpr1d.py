@@ -113,6 +113,12 @@ def collapsed_elbo_matern(stats: SufficientStats, basis, nu2, var, ell,
     return elbo
 
 
+def _basis_tag(basis) -> str:
+    """Stable string identifying a basis for executable cache keys (the
+    tables are deterministic in (order, m, a, b))."""
+    return f"o{basis.order}m{basis.m}r{basis.a!r}:{basis.b!r}"
+
+
 def window_quadratic_form(band, vals, start):
     """q_i = kus_iᵀ M kus_i where M is symmetric with lower band ``band`` and
     kus_i is supported on rows start_i .. start_i + k.
@@ -194,9 +200,15 @@ class Posterior1D:
         x = jnp.reshape(Xnew, (-1,))
 
         def chunk_predict(xc):
-            return _predict_chunk(
-                self.basis, self.w, self.diff_band, self.kernel.variance, xc
+            from asvgp_tpu.utils import exec_cache as _ec
+
+            dyn = (self.w, self.diff_band, self.kernel.variance, xc)
+            compiled = _ec.cached_compile(
+                _predict_chunk, (self.basis,), dyn,
+                tag=f"pred1d-{_basis_tag(self.basis)}",
+                device=_ec.params_device(dyn),
             )
+            return compiled(*dyn)
 
         if not batch or x.shape[0] <= batch:
             mean, var = chunk_predict(x)
@@ -318,12 +330,23 @@ class GPR1D:
 
     # ---- prediction ---------------------------------------------------------
     def _posterior_bands(self, params):
+        from asvgp_tpu.utils import exec_cache as _ec
+
         kernel, lik = self._build(params)
-        w, diff_band = _posterior_core(
-            self.basis, self.nu2, self.backend,
+        dyn = (
             self.stats.kufkfu_band, self.stats.kuf_y,
             kernel.variance, kernel.lengthscales, lik.variance,
         )
+        # compiled via the cross-process executable cache (when
+        # ASVGP_EXEC_CACHE_DIR is set): a warm process skips the posterior
+        # factorization's kernel trace AND its relay compile — at the
+        # north-star shape that was 9.6 s of the 14.8 s predict total
+        compiled = _ec.cached_compile(
+            _posterior_core, (self.basis, self.nu2, self.backend), dyn,
+            tag=f"post1d-{_basis_tag(self.basis)}-nu{self.nu2}-be{self.backend}",
+            device=_ec.params_device(dyn),
+        )
+        w, diff_band = compiled(*dyn)
         return kernel, w, diff_band
 
     def posterior(self, params) -> Posterior1D:

@@ -249,17 +249,36 @@ class GPRKron:
         sp = block.takahashi_inverse_block_banded(l_p)  # (k1+1, m1, M2, M2)
         return w_flat, sp, tuple(s_bands)
 
+    def _cache_tag(self, what: str) -> str:
+        from asvgp_tpu.models.gpr1d import _basis_tag
+
+        return "-".join(
+            [what, f"D{self.D}"]
+            + [_basis_tag(b) for b in self.bases]
+            + [f"nu{'.'.join(map(str, self.nu2s))}", f"be{self.backend}"]
+        )
+
     def _posterior_inner(self, params) -> "PosteriorKron":
+        from asvgp_tpu.utils import exec_cache as _ec
+
         kernels, lik = self._build(params)
         # jit with the sufficient statistics as ARGUMENTS (not closure
-        # constants): keeps the persistent-compile-cache key independent of
-        # the data values and the executable free of embedded MB constants
+        # constants): keeps the cache keys independent of the data values
+        # and the executable free of embedded MB constants.  Compiled via
+        # the cross-process executable cache (ASVGP_EXEC_CACHE_DIR): at the
+        # eNATL shape the factorization was 99.5 s of the 160.8 s predict
+        # total, nearly all of it trace + relay compile.
         if not hasattr(self, "_post_jit"):
             self._post_jit = jax.jit(self._posterior_arrays)
-        w_flat, sp, s_bands = self._post_jit(
-            params, self.stats.t_band, self.stats.kuf_y
+        dyn = (params, self.stats.t_band, self.stats.kuf_y)
+        compiled = _ec.cached_compile(
+            self._post_jit, (), dyn,
+            tag=self._cache_tag("kronpost"),
+            device=_ec.params_device(dyn),
         )
-        return PosteriorKron(kernels, lik, self.bases, w_flat, sp, s_bands)
+        w_flat, sp, s_bands = compiled(*dyn)
+        return PosteriorKron(kernels, lik, self.bases, w_flat, sp, s_bands,
+                             cache_tag=self._cache_tag("kronpred"))
 
     def predict_f(self, params, Xnew, full_cov: bool = False):
         return self.posterior(params).predict_f(Xnew, full_cov=full_cov)
@@ -285,26 +304,36 @@ class PosteriorKron:
     """Cached GPRKron posterior (block factorization done once at
     construction; predictions are windowed gathers, O(Π(k_d+1)²) per point)."""
 
-    def __init__(self, kernels, lik, bases, w_flat, sp, s_bands):
+    def __init__(self, kernels, lik, bases, w_flat, sp, s_bands,
+                 cache_tag: str = "kronpred"):
         self.kernels = kernels
         self.likelihood = lik
         self.bases = bases
         self.w_flat = w_flat  # (m1, Π_{d>=2} m_d)
         self.sp = sp
         self.s_bands = tuple(s_bands)
+        self.cache_tag = cache_tag
 
     def predict_f(self, Xnew, full_cov: bool = False):
+        from asvgp_tpu.utils import exec_cache as _ec
+
         if full_cov:
             raise NotImplementedError("full_cov prediction is not implemented")
         # jit over the posterior arrays as arguments (stable cache key, no
         # embedded constants); the basis tables closed over are small and
-        # value-stable
+        # value-stable.  Cross-process executable cache as in
+        # GPRKron._posterior_inner (eNATL first-predict was 60 s of
+        # compile for 1.3 s of math).
         if not hasattr(self, "_predict_jit"):
             self._predict_jit = jax.jit(self._predict_arrays)
         kdiag = math.prod(k.variance for k in self.kernels)
-        return self._predict_jit(
-            jnp.asarray(Xnew), self.w_flat, self.sp, self.s_bands, kdiag
+        dyn = (jnp.asarray(Xnew), self.w_flat, self.sp, self.s_bands, kdiag)
+        compiled = _ec.cached_compile(
+            self._predict_jit, (), dyn,
+            tag=self.cache_tag,
+            device=_ec.params_device(dyn),
         )
+        return compiled(*dyn)
 
     def _predict_arrays(self, x, w_flat, sp, s_bands, kdiag):
         from asvgp_tpu.models.gpr1d import window_quadratic_form

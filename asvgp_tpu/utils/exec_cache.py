@@ -75,7 +75,8 @@ def kernel_source_digest() -> str:
 
 def avals_digest(tree) -> str:
     avals = tuple(
-        (a.shape, str(a.dtype)) for a in jax.tree.leaves(tree)
+        (a.shape, str(a.dtype)) if hasattr(a, "shape") else repr(a)
+        for a in jax.tree.leaves(tree)
     )
     return hashlib.sha256(repr(avals).encode()).hexdigest()[:16]
 
@@ -163,6 +164,105 @@ def load_executable(path, device=None):
         return se.deserialize_and_load(payload, in_tree, out_tree, **kw)
     except Exception:
         return None
+
+
+def default_dir():
+    """Process-wide disk-cache directory for cached_compile, from
+    ASVGP_EXEC_CACHE_DIR.  None (the default) disables cross-process
+    caching — in-process jit caching still applies as usual."""
+    return os.environ.get("ASVGP_EXEC_CACHE_DIR") or None
+
+
+_PKG_DIGEST = None
+
+
+def package_source_digest() -> str:
+    """Digest of ALL package sources.  Used to key executables of functions
+    that close over model/basis code (posterior factorizations, predictors)
+    where — unlike the hoisted fit loop — no jaxpr digest is computed, so
+    any package edit must invalidate."""
+    global _PKG_DIGEST
+    if _PKG_DIGEST is None:
+        pkg = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        h = hashlib.sha256()
+        h.update(_SCHEMA.encode())
+        h.update(jax.__version__.encode())
+        for dirpath, dirnames, filenames in sorted(os.walk(pkg)):
+            dirnames.sort()
+            for fn in sorted(filenames):
+                if fn.endswith(".py"):
+                    p = os.path.join(dirpath, fn)
+                    h.update(p.encode())
+                    with open(p, "rb") as f:
+                        h.update(f.read())
+        _PKG_DIGEST = h.hexdigest()[:16]
+    return _PKG_DIGEST
+
+
+_MEMO: dict = {}
+
+
+def cached_compile(jitted, static_args, dyn_args, *, tag: str, device=None,
+                   timings=None):
+    """Compile ``jitted(*static_args, *dyn_args)`` (a jax.jit-wrapped
+    callable with its static_argnames leading) with an in-process memo AND
+    (if default_dir() is set) a cross-process disk cache of the compiled
+    executable.  Returns the compiled object, to be invoked with the
+    DYNAMIC arguments only (statics are baked in at compile time).
+
+    ``tag`` must uniquely identify the computation AND every value in
+    ``static_args`` or closed over that is not visible in the dyn avals
+    (basis domain and tables, kernel order, backend choice...) — the caller
+    owns this; static objects are deliberately NOT hashed here because
+    their reprs are process-unstable.  The key adds the dynamic-argument
+    avals, the platform, and the package source digest, so code edits
+    invalidate.
+
+    ``timings`` (optional dict) records trace_s / load_s like fit_lbfgs.
+    """
+    import time as _time
+
+    if device is None:
+        device = jax.devices(jax.default_backend())[0]
+    key = "-".join([
+        tag,
+        avals_digest(dyn_args),
+        device.platform,
+        package_source_digest(),
+    ])
+    compiled = _MEMO.get(key)
+    if compiled is not None:
+        if timings is not None:
+            timings.setdefault("trace_s", 0.0)
+            timings.setdefault("load_s", 0.0)
+        return compiled
+
+    cache_dir = default_dir()
+    t0 = _time.time()
+    if cache_dir is not None:
+        os.makedirs(cache_dir, exist_ok=True)
+        path = os.path.join(
+            cache_dir,
+            "x-" + hashlib.sha256(key.encode()).hexdigest()[:24] + ".pjrt",
+        )
+        compiled = load_executable(path, device)
+        if compiled is not None:
+            if timings is not None:
+                timings["trace_s"] = round(0.0, 2)
+                timings["load_s"] = round(_time.time() - t0, 2)
+            _MEMO[key] = compiled
+            return compiled
+    lowered = jitted.lower(*static_args, *dyn_args)
+    if timings is not None:
+        timings["trace_s"] = round(_time.time() - t0, 2)
+    t0 = _time.time()
+    compiled = lowered.compile()
+    if cache_dir is not None:
+        save_executable(path, compiled)
+    if timings is not None:
+        timings["load_s"] = round(_time.time() - t0, 2)
+    _MEMO[key] = compiled
+    return compiled
 
 
 def save_executable(path, compiled) -> bool:

@@ -19,6 +19,9 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
 
 import jax
 
+# cross-process executable cache for the fit loop, posterior and predict
+os.environ.setdefault("ASVGP_EXEC_CACHE_DIR", "/tmp/asvgp_export_cache")
+
 if os.environ.get("ASVGP_FORCE_CPU"):  # some images ignore JAX_PLATFORMS
     jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
@@ -64,7 +67,7 @@ def run_split(args, seed, fit_cache=None):
     params, loss, iters = fit_lbfgs(
         jax.jit(model.training_loss), model.init_params(),
         max_iters=args.iters, cache=fit_cache,
-        export_dir="/tmp/asvgp_export_cache",
+        export_dir=os.environ["ASVGP_EXEC_CACHE_DIR"],
     )
     jax.block_until_ready(loss)
     t_opt = time.time() - t0

@@ -21,6 +21,9 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
 
 import jax
 
+# cross-process executable cache for posterior factorization + predict
+os.environ.setdefault("ASVGP_EXEC_CACHE_DIR", "/tmp/asvgp_export_cache")
+
 if os.environ.get("ASVGP_FORCE_CPU"):  # some images ignore JAX_PLATFORMS
     jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)

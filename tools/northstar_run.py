@@ -24,6 +24,9 @@ import numpy as np
 
 import jax
 
+# cross-process executable cache for posterior factorization + predict
+os.environ.setdefault("ASVGP_EXEC_CACHE_DIR", "/tmp/asvgp_export_cache")
+
 jax.config.update("jax_enable_x64", True)
 os.makedirs("/tmp/asvgp_jax_cache", exist_ok=True)
 jax.config.update("jax_compilation_cache_dir", "/tmp/asvgp_jax_cache")

@@ -40,6 +40,84 @@ from asvgp_tpu.stats.kron import (
 _LOG2PI = math.log(2.0 * math.pi)
 
 
+def _trailing_dense(bases, kuu_bands):
+    """Dense Kronecker product of the trailing (d >= 2) Kuu factors."""
+    dense = banded.band_to_dense(
+        banded.symmetrise_lower_band(kuu_bands[1]),
+        bases[1].order,
+        bases[1].order,
+    )
+    for d in range(2, len(bases)):
+        fd = banded.band_to_dense(
+            banded.symmetrise_lower_band(kuu_bands[d]),
+            bases[d].order,
+            bases[d].order,
+        )
+        dense = jnp.einsum("ab,cd->acbd", dense, fd).reshape(
+            dense.shape[0] * fd.shape[0], dense.shape[1] * fd.shape[1]
+        )
+    return dense
+
+
+def _p_blocks_from(bases, kuu_bands, sigma2, t_band):
+    """Block-banded P = Kuu ⊗ ... + KufKfu/σ² from a multiband T tensor."""
+    trailing = _trailing_dense(bases, kuu_bands)
+    if len(bases) == 2:
+        return t_band_to_blocks(t_band, kuu_bands[0], trailing, sigma2)
+    from asvgp_tpu.stats.kron_nd import t_band_to_blocks_nd
+
+    return t_band_to_blocks_nd(t_band, kuu_bands[0], trailing, sigma2)
+
+
+def kron_collapsed_elbo(bases, nu2s, params, stats):
+    """Collapsed ELBO from precomputed Kronecker sufficient statistics.
+
+    Factored out of GPRKron so the data-parallel minibatch step
+    (parallel/dp.py make_dp_train_step_kron) can evaluate the bound on
+    freshly psum-assembled batch statistics; GPRKron.elbo routes here with
+    the model's cached full-data stats.  Term-for-term the reference bound
+    (asvgp/gpr.py:264-309), but P stays block-banded instead of dense m^d.
+    """
+    D = len(bases)
+    kernels = kron_params_to_kernels(params, nu2s)
+    sigma2 = positive(params["likelihood"]["raw_variance"])
+    ms = [b.m for b in bases]
+
+    kuu_bands = [make_kuu(k, b) for k, b in zip(kernels, bases)]
+    l_bands = [banded.cholesky_band(kb) for kb in kuu_bands]
+    # Kronecker determinant identity:
+    #   log|⊗_d A_d| = Σ_d (Π_{e≠d} m_e) log|A_d|
+    log_det_kuu = sum(
+        math.prod(ms) // ms[d] * banded.log_det_from_cholesky(l_bands[d])
+        for d in range(D)
+    )
+    s_bands = [banded.takahashi_inverse_band(lb) for lb in l_bands]
+    if D == 2:
+        trace_term = t_band_trace_against_kron(
+            stats.t_band, s_bands[0], s_bands[1]
+        )
+    else:
+        from asvgp_tpu.stats.kron_nd import t_band_trace_against_kron_nd
+
+        trace_term = t_band_trace_against_kron_nd(stats.t_band, s_bands)
+
+    p_blocks = _p_blocks_from(bases, kuu_bands, sigma2, stats.t_band)
+    l_p = block.cholesky_block_banded(p_blocks)
+    log_det_p = block.log_det_from_block_cholesky(l_p)
+    c = block.solve_lower_block_banded(l_p, stats.kuf_y) / sigma2
+
+    kdiag_sum = stats.n * math.prod(k.variance for k in kernels)
+
+    elbo = -0.5 * stats.n * (_LOG2PI + jnp.log(sigma2))
+    elbo -= 0.5 * log_det_p
+    elbo += 0.5 * log_det_kuu
+    elbo -= 0.5 * stats.yty / sigma2
+    elbo += 0.5 * jnp.sum(jnp.square(c))
+    elbo -= 0.5 * kdiag_sum / sigma2
+    elbo += 0.5 * trace_term / sigma2
+    return elbo
+
+
 def kron_params_to_kernels(params, nu2s):
     return [
         Matern(
@@ -146,31 +224,11 @@ class GPRKron:
         return [make_kuu(k, b) for k, b in zip(kernels, self.bases)]
 
     def _trailing_dense(self, kuu_bands):
-        """Dense Kronecker product of the trailing (d >= 2) Kuu factors."""
-        dense = banded.band_to_dense(
-            banded.symmetrise_lower_band(kuu_bands[1]),
-            self.bases[1].order,
-            self.bases[1].order,
-        )
-        for d in range(2, self.D):
-            fd = banded.band_to_dense(
-                banded.symmetrise_lower_band(kuu_bands[d]),
-                self.bases[d].order,
-                self.bases[d].order,
-            )
-            dense = jnp.einsum("ab,cd->acbd", dense, fd).reshape(
-                dense.shape[0] * fd.shape[0], dense.shape[1] * fd.shape[1]
-            )
-        return dense
+        return _trailing_dense(self.bases, kuu_bands)
 
     def _p_blocks(self, kuu_bands, sigma2, t_band=None):
         t_band = self.stats.t_band if t_band is None else t_band
-        trailing = self._trailing_dense(kuu_bands)
-        if self.D == 2:
-            return t_band_to_blocks(t_band, kuu_bands[0], trailing, sigma2)
-        from asvgp_tpu.stats.kron_nd import t_band_to_blocks_nd
-
-        return t_band_to_blocks_nd(t_band, kuu_bands[0], trailing, sigma2)
+        return _p_blocks_from(self.bases, kuu_bands, sigma2, t_band)
 
     def elbo(self, params):
         from asvgp_tpu.banded import ops as _bops
@@ -179,43 +237,7 @@ class GPRKron:
             return self._elbo_inner(params)
 
     def _elbo_inner(self, params):
-        kernels, lik = self._build(params)
-        sigma2 = lik.variance
-        ms = [b.m for b in self.bases]
-
-        kuu_bands = self._factor_bands(kernels)
-        l_bands = [banded.cholesky_band(kb) for kb in kuu_bands]
-        # Kronecker determinant identity:
-        #   log|⊗_d A_d| = Σ_d (Π_{e≠d} m_e) log|A_d|
-        log_det_kuu = sum(
-            math.prod(ms) // ms[d] * banded.log_det_from_cholesky(l_bands[d])
-            for d in range(self.D)
-        )
-        s_bands = [banded.takahashi_inverse_band(lb) for lb in l_bands]
-        if self.D == 2:
-            trace_term = t_band_trace_against_kron(
-                self.stats.t_band, s_bands[0], s_bands[1]
-            )
-        else:
-            from asvgp_tpu.stats.kron_nd import t_band_trace_against_kron_nd
-
-            trace_term = t_band_trace_against_kron_nd(self.stats.t_band, s_bands)
-
-        p_blocks = self._p_blocks(kuu_bands, sigma2)
-        l_p = block.cholesky_block_banded(p_blocks)
-        log_det_p = block.log_det_from_block_cholesky(l_p)
-        c = block.solve_lower_block_banded(l_p, self.stats.kuf_y) / sigma2
-
-        kdiag_sum = self.stats.n * math.prod(k.variance for k in kernels)
-
-        elbo = -0.5 * self.stats.n * (_LOG2PI + jnp.log(sigma2))
-        elbo -= 0.5 * log_det_p
-        elbo += 0.5 * log_det_kuu
-        elbo -= 0.5 * self.stats.yty / sigma2
-        elbo += 0.5 * jnp.sum(jnp.square(c))
-        elbo -= 0.5 * kdiag_sum / sigma2
-        elbo += 0.5 * trace_term / sigma2
-        return elbo
+        return kron_collapsed_elbo(self.bases, self.nu2s, params, self.stats)
 
     def maximum_log_likelihood_objective(self, params):
         return self.elbo(params)

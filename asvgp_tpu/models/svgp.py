@@ -49,7 +49,7 @@ from asvgp_tpu.models.gpr1d import (
     window_quadratic_form,
 )
 from asvgp_tpu.models.kernels import Matern
-from asvgp_tpu.models.parameters import positive, positive_inverse
+from asvgp_tpu.models.parameters import positive_inverse
 
 _LOG2PI = math.log(2.0 * math.pi)
 
@@ -68,9 +68,17 @@ class SVGP1D:
         self.q_bandwidth = basis.order if q_bandwidth is None else q_bandwidth
 
     def init_params(self):
+        """Initialize q(ν) at the PRIOR p(ν) = N(0, Kuu⁻¹): R = chol(Kuu),
+        KL = 0, predictive variance = prior variance.  Matches gpflow's
+        q_sqrt-at-prior convention and starts the log-scale diagonal at the
+        right order of magnitude."""
         m = self.basis.m
+        kuu = make_kuu(self.kernel_init, self.basis)
+        l0 = banded.cholesky_band(kuu)  # bandwidth = basis.order
         raw = jnp.zeros((self.q_bandwidth + 1, m), jnp.result_type(float))
-        raw = raw.at[0].set(positive_inverse(1.0))
+        raw = raw.at[0].set(jnp.log(l0[0]))
+        rows = min(self.q_bandwidth, l0.shape[0] - 1)
+        raw = raw.at[1 : 1 + rows].set(l0[1 : 1 + rows] / l0[0])
         return {
             "kernel": {
                 "raw_variance": positive_inverse(self.kernel_init.variance),
@@ -85,8 +93,22 @@ class SVGP1D:
         return params_to_kernel(params, self.nu2), params_to_likelihood(params)
 
     def _r_band(self, params):
+        """Banded Cholesky factor R of the variational precision.
+
+        Parameterization chosen for OPTIMIZER REACHABILITY, not just
+        positivity: the optimal precision is P = Kuu + KufKfu/σ², whose
+        Cholesky diagonal is O(√(N/m)/σ) — 10²–10⁴ at production scale.
+        Adam moves a raw parameter by ≲ lr·steps, so a softplus/linear raw
+        diagonal can NEVER reach the optimum in a realistic step budget
+        (this exact failure produced a ×4 NLPD miscalibration at N=10⁶:
+        variance stuck at its init while the mean trained fine).  Hence:
+          diag     R[0] = exp(raw[0])          (log scale: multiplicative)
+          off-diag R[q] = raw[q] · R[0]        (relative to the column diag,
+                                                 O(1) at the optimum)
+        """
         raw = params["q_prec_band"]
-        r = jnp.concatenate([positive(raw[:1]), raw[1:]], axis=0)
+        d = jnp.exp(raw[:1])
+        r = jnp.concatenate([d, raw[1:] * d], axis=0)
         return banded.mask_lower_band(r)
 
     # ---- KL(q(ν) || p(ν)), p(ν) = N(0, Kuu⁻¹) ------------------------------

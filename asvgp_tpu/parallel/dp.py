@@ -32,9 +32,13 @@ from asvgp_tpu.stats.sufficient import SufficientStats, _stats_local
 
 
 def shard_data(X, y, mesh, axis: str = "data"):
-    """Place (X, y) sharded along ``axis``; N must divide the axis size."""
+    """Place (X, y) sharded along ``axis``; N must divide the axis size.
+    X may be (n,) / (n, 1) (GPR1D) or (n, D) with D >= 2 (GPRKron) — data
+    points are always partitioned along the leading axis."""
     sharding = NamedSharding(mesh, P(axis))
-    x = jnp.reshape(X, (-1,))
+    x = jnp.asarray(X)
+    if x.ndim != 2 or x.shape[1] == 1:
+        x = jnp.reshape(x, (-1,))
     yf = jnp.reshape(y, (-1,))
     return jax.device_put(x, sharding), jax.device_put(yf, sharding)
 
@@ -83,6 +87,61 @@ def make_dp_train_step(basis, nu2: int, mesh, *, axis: str = "data",
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
 
+    return _wrap_in_mesh(step, mesh, backend), opt
+
+
+def make_dp_train_step_kron(bases, nu2s, mesh, *, axis: str = "data",
+                            optimizer=None, num_data_total=None,
+                            backend=None):
+    """Data-parallel training step for the Kronecker (D>=2) model family.
+
+    Same DP strategy as :func:`make_dp_train_step`: the Kronecker
+    sufficient statistics (Kuf·y, the multiband T tensor, yᵀy) are sums
+    over data points, so each device assembles them on its (X, y) shard and
+    ``psum``s over ICI; the block-banded collapsed ELBO
+    (models/kron.py kron_collapsed_elbo) then runs replicated on the tiny
+    m-shaped statistics.  ``num_data_total`` enables the stochastic
+    (minibatch) bound, as in the 1-D step.
+    """
+    import optax as _optax
+
+    from asvgp_tpu.models.kron import kron_collapsed_elbo
+    from asvgp_tpu.stats.kron import KronStats, _kron_stats_local
+    from asvgp_tpu.stats.kron_nd import _kron_stats_local_nd
+
+    opt = optimizer if optimizer is not None else _optax.adam(1e-2)
+    local = _kron_stats_local if len(bases) == 2 else _kron_stats_local_nd
+
+    def stats_shardmap(xs, ys):
+        s = local(bases, xs, ys)
+        return jax.tree.map(partial(jax.lax.psum, axis_name=axis), s)
+
+    stats_fn = jax.shard_map(
+        stats_shardmap, mesh=mesh, in_specs=(P(axis), P(axis)), out_specs=P()
+    )
+
+    @jax.jit
+    def step(params, opt_state, x, y):
+        stats = stats_fn(x, y)
+        if num_data_total is not None:
+            scale = jnp.asarray(num_data_total, y.dtype) / stats.n
+            stats = KronStats(
+                kuf_y=stats.kuf_y * scale,
+                t_band=stats.t_band * scale,
+                yty=stats.yty * scale,
+                n=stats.n * scale,
+            )
+        loss, grads = jax.value_and_grad(
+            lambda p: -kron_collapsed_elbo(bases, nu2s, p, stats)
+        )(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return _wrap_in_mesh(step, mesh, backend), opt
+
+
+def _wrap_in_mesh(step, mesh, backend):
     # explicit backend threading (banded/ops.py impl_scope) replaces the
     # old jax.default_device workaround: derive the backend from the mesh
     # platform once, deterministically, instead of ambient sniffing
@@ -98,4 +157,4 @@ def make_dp_train_step(basis, nu2: int, mesh, *, axis: str = "data",
         with jax.set_mesh(mesh), _bops.impl_scope(backend):
             return step(params, opt_state, x, y)
 
-    return step_in_mesh, opt
+    return step_in_mesh

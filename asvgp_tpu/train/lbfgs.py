@@ -46,9 +46,15 @@ def _hoist_closure(loss_fn, params):
 
 def fit_lbfgs(loss_fn, params, *, max_iters: int = 500, tol: float = 1e-8,
               memory_size: int = 20, timings: dict | None = None,
-              cache: dict | None = None, export_dir: str | None = None):
+              cache: dict | None = None, export_dir: str | None = None,
+              info: dict | None = None):
     """Minimize ``loss_fn`` over the ``params`` pytree with L-BFGS + zoom
     line search.  Returns (params, final_loss, num_iters).
+
+    ``info``: optional dict; if given, records ``grad_norm`` (final
+    gradient norm) and ``converged`` (grad_norm < tol — i.e. the loop
+    stopped on the tolerance rather than the iteration cap).  Protocol
+    tables use this to distinguish converged folds from truncated ones.
 
     ``loss_fn``'s closed-over arrays (model sufficient statistics — MBs at
     the eNATL scale) are hoisted into runtime arguments with
@@ -137,6 +143,7 @@ def fit_lbfgs(loss_fn, params, *, max_iters: int = 500, tol: float = 1e-8,
             params,
             otu.tree_get(state, "count"),
             otu.tree_get(state, "value"),
+            otu.tree_norm(otu.tree_get(state, "grad")),
         )
 
     def _avals(tree):
@@ -144,16 +151,23 @@ def fit_lbfgs(loss_fn, params, *, max_iters: int = 500, tol: float = 1e-8,
             (a.shape, str(a.dtype)) for a in jax.tree.leaves(tree)
         )
 
+    def _record_info(grad_norm):
+        if info is not None:
+            info["grad_norm"] = float(grad_norm)
+            info["converged"] = bool(float(grad_norm) < tol)
+
     key = (_avals(params), _avals(consts))
     if cache is not None and cache.get("key") == key:
         compiled = cache["compiled"]
-        params, iters, final_loss = jax.block_until_ready(
+        params, iters, final_loss, grad_norm = jax.block_until_ready(
             compiled(params, consts)
         )
+        _record_info(grad_norm)
         return params, final_loss, iters
 
     if timings is None and cache is None and export_dir is None:
-        params, iters, final_loss = jax.jit(run)(params, consts)
+        params, iters, final_loss, grad_norm = jax.jit(run)(params, consts)
+        _record_info(grad_norm)
     else:
         import time as _time
 
@@ -245,9 +259,10 @@ def fit_lbfgs(loss_fn, params, *, max_iters: int = 500, tol: float = 1e-8,
             cache["key"] = key
             cache["compiled"] = compiled
         t0 = _time.time()
-        params, iters, final_loss = jax.block_until_ready(
+        params, iters, final_loss, grad_norm = jax.block_until_ready(
             compiled(params, consts)
         )
         float(final_loss)
         timings["exec_s"] = round(_time.time() - t0, 2)
+        _record_info(grad_norm)
     return params, final_loss, iters

@@ -36,6 +36,7 @@ import numpy as np  # noqa: E402
 
 from asvgp_tpu.basis import BSplineBasis  # noqa: E402
 from asvgp_tpu.models import GPR1D, Matern52  # noqa: E402
+from asvgp_tpu.models.parameters import positive  # noqa: E402
 from asvgp_tpu.train import fit_adam_minibatch, fit_lbfgs, mse, nlpd  # noqa: E402
 
 
@@ -64,9 +65,10 @@ def run_split(args, seed, fit_cache=None):
     t_pre = time.time() - t0
 
     t0 = time.time()
+    fit_info = {}
     params, loss, iters = fit_lbfgs(
         jax.jit(model.training_loss), model.init_params(),
-        max_iters=args.iters, cache=fit_cache,
+        max_iters=args.iters, cache=fit_cache, info=fit_info,
         export_dir=os.environ["ASVGP_EXEC_CACHE_DIR"],
     )
     jax.block_until_ready(loss)
@@ -86,6 +88,12 @@ def run_split(args, seed, fit_cache=None):
         "t_opt": t_opt,
         "t_pred": t_pred,
         "iters": int(iters),
+        # convergence evidence: distinguishes tol-converged folds from
+        # iteration-cap-truncated ones (a fold whose ELBO diverges from its
+        # siblings with converged=False needs more iterations, not debugging)
+        "grad_norm": fit_info.get("grad_norm"),
+        "converged": fit_info.get("converged"),
+        "noise_variance": float(positive(params["likelihood"]["raw_variance"])),
     }
 
     if args.adam_baseline:
@@ -101,15 +109,15 @@ def run_split(args, seed, fit_cache=None):
 
     if args.svgp_baseline:
         # true SVGP with minibatch Adam — the reference's baseline model
-        # (reference electricity.py:115-116 uses gpflow.models.SVGP +
-        # run_adam with batch 100, 10k iters)
+        # and protocol (reference electricity.py:115-116: gpflow.models.SVGP
+        # + run_adam with batch 100, 10k iterations)
         from asvgp_tpu.models.svgp import SVGP1D, fit_svgp
 
         svgp = SVGP1D(kern(), basis, num_data=len(xtr))
         t0 = time.time()
         p_svgp, losses = fit_svgp(
             svgp, xtr, ytr, svgp.init_params(),
-            batch_size=args.batch, steps=args.adam_steps,
+            batch_size=args.svgp_batch, steps=args.svgp_steps,
         )
         jax.block_until_ready(losses)
         row["t_svgp"] = time.time() - t0
@@ -120,6 +128,14 @@ def run_split(args, seed, fit_cache=None):
         row["t_svgp_pred"] = time.time() - t0
         row["nlpd_svgp"] = float(nlpd(ld_s))
         row["mse_svgp"] = float(mse(yte, mean_s))
+        # convergence evidence for the baseline: learned noise (should match
+        # the generative 0.09) and the ELBO-trace tail slope (flat = done)
+        row["noise_svgp"] = float(positive(p_svgp["likelihood"]["raw_variance"]))
+        tail = np.asarray(losses[-args.svgp_steps // 10:], dtype=float)
+        head = np.asarray(
+            losses[-args.svgp_steps // 5: -args.svgp_steps // 10], dtype=float
+        )
+        row["svgp_elbo_tail_drop"] = float(head.mean() - tail.mean())
 
     if args.vff_baseline:
         # VFF baseline (reference electricity.py:12-13,76-79 imports the
@@ -163,6 +179,9 @@ def main():
     ap.add_argument("--vff-frequencies", type=int, default=100)
     ap.add_argument("--batch", type=int, default=4096)
     ap.add_argument("--adam-steps", type=int, default=2000)
+    # SVGP baseline protocol = the reference's (electricity.py:115-116)
+    ap.add_argument("--svgp-batch", type=int, default=100)
+    ap.add_argument("--svgp-steps", type=int, default=10000)
     ap.add_argument("--out", type=str, default=None,
                     help="write a JSON metrics artifact here")
     args = ap.parse_args()

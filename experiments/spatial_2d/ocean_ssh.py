@@ -101,11 +101,12 @@ def main():
           f"(N={len(ytr)}, features={args.m ** 2})")
 
     opt_timings = {}
+    fit_info = {}
     with clock.section("optimize"):
         params, loss, iters = fit_lbfgs(
             jax.jit(model.training_loss), model.init_params(),
-            max_iters=args.iters, timings=opt_timings,
-            export_dir="/tmp/asvgp_export_cache",
+            max_iters=args.iters, timings=opt_timings, info=fit_info,
+            export_dir=os.environ["ASVGP_EXEC_CACHE_DIR"],
         )
         jax.block_until_ready(loss)
     print(f"optimize: {clock.times['optimize']:.1f}s "
@@ -154,6 +155,9 @@ def main():
                     "device": str(jax.devices()[0]),
                     "elbo": -float(loss),
                     "iters": int(iters),
+                    "grad_norm": fit_info.get("grad_norm"),
+                    "converged": fit_info.get("converged"),
+                    "relay_wait_s": round(relay_wait_s, 2),
                     "mse": float(mse(yte, mean)),
                     "nll": float(nlpd(ld)),
                     "timings_s": {

@@ -43,7 +43,7 @@ def test_optimal_q_recovers_collapsed_elbo():
 
     svgp = SVGP1D(kernel, basis, noise_variance=noise, num_data=x.shape[0])
     sp = svgp.init_params()
-    raw = jnp.concatenate([positive_inverse(l_p[:1]), l_p[1:]], axis=0)
+    raw = jnp.concatenate([jnp.log(l_p[:1]), l_p[1:] / l_p[0]], axis=0)
     sp = {**sp, "q_mu": mu, "q_prec_band": raw}
 
     uncollapsed = float(svgp.elbo(sp, x, y))
@@ -72,12 +72,42 @@ def test_svgp_predict_matches_gpr_at_optimum():
         **sp,
         "q_mu": mu,
         "q_prec_band": jnp.concatenate(
-            [positive_inverse(l_p[:1]), l_p[1:]], axis=0
+            [jnp.log(l_p[:1]), l_p[1:] / l_p[0]], axis=0
         ),
     }
     mean_s, var_s = svgp.predict_f(sp, x[:50])
     np.testing.assert_allclose(np.asarray(mean_s), np.asarray(mean_g), atol=1e-10)
     np.testing.assert_allclose(np.asarray(var_s), np.asarray(var_g), atol=1e-10)
+
+
+def test_predict_log_density_closed_form():
+    """predict_log_density must be the closed-form Gaussian log density
+    N(y; mean, var + σ²) — rules out a metric bug in the NLPD table."""
+    x, y = make_data(n=200, seed=5)
+    basis = B3Spline(0.0, 1.0, 20)
+    svgp = SVGP1D(Matern32(0.7, 0.3), basis, noise_variance=0.12, num_data=200)
+    sp = svgp.init_params()
+    xs, ys = x[:40], y[:40]
+    ld = np.asarray(svgp.predict_log_density(sp, (xs, ys))).ravel()
+    mean, var = svgp.predict_f(sp, xs)
+    s = np.asarray(var).ravel() + 0.12
+    expect = -0.5 * np.log(2 * np.pi * s) - (ys - np.asarray(mean).ravel()) ** 2 / (2 * s)
+    np.testing.assert_allclose(ld, expect, rtol=1e-12)
+
+
+def test_init_is_prior():
+    """init_params puts q(ν) at the prior: KL = 0 and predictive variance =
+    prior variance (the reachability contract of the log-scale R)."""
+    basis = B3Spline(0.0, 1.0, 20)
+    kernel = Matern32(0.9, 0.25)
+    svgp = SVGP1D(kernel, basis, noise_variance=0.1, num_data=100)
+    sp = svgp.init_params()
+    np.testing.assert_allclose(float(svgp.kl(sp)), 0.0, atol=1e-8)
+    xs = np.linspace(0.2, 0.8, 30)
+    _, var = svgp.predict_f(sp, xs)
+    np.testing.assert_allclose(
+        np.asarray(var).ravel(), float(kernel.variance), rtol=1e-9
+    )
 
 
 import pytest
@@ -100,3 +130,10 @@ def test_svgp_minibatch_training_improves_and_approaches_collapsed():
     mean, _ = svgp.predict_f(params, x)
     mse_model = float(np.mean((np.asarray(mean)[:, 0] - y) ** 2))
     assert mse_model < 0.5 * float(np.mean(y**2))
+    # ... and the predictive VARIANCE must calibrate: with noise std 0.1 a
+    # calibrated Gaussian predictive has NLPD ≈ ½log(2πe·0.01) ≈ -1.27.
+    # The pre-fix parameterization (softplus/linear precision, unreachable
+    # optimum) trains the mean but leaves NLPD near the prior's (~ +0.9).
+    xh, yh = make_data(n=300, seed=11)
+    ld = np.asarray(svgp.predict_log_density(params, (xh, yh)))
+    assert float(-ld.mean()) < -0.8, f"miscalibrated NLPD {-ld.mean():.3f}"

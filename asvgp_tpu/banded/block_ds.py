@@ -209,10 +209,12 @@ def panel_chol_ds(sh, sl, variant=None):
     zero = jnp.zeros((), jnp.float32)
     on_tpu = jax.default_backend() == "tpu"
     if variant is None:
-        # default stays "fused" until the dense-block kernel's on-TPU
-        # validation artifact lands (tools/panel_kernel_probe.py) — flip
-        # only with evidence (round-2 verdict, weak #1)
-        variant = "fused" if on_tpu else "nofuse"
+        # TPU default = the dense-block Mosaic kernel, flipped on hardware
+        # evidence (PANELCHECK.json, tools/panel_kernel_probe.py at eNATL
+        # shape W=4 nb=100 B=100: chol fwd 20.3 ms vs 59.0 fused,
+        # chol+solve+grad 39.4 vs 81.9; L vs f64 oracle 9.3e-11 at κ=1e10,
+        # ELBO-path scalar identical)
+        variant = "kernel" if on_tpu else "nofuse"
     if variant == "kernel" and B > 128:
         variant = "fused" if on_tpu else "nofuse"
     if variant == "kernel":

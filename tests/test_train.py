@@ -220,3 +220,36 @@ def test_exec_cache_key_ignores_unrelated_sources():
     assert not any(p.startswith("features/") for p in rel)
     # and the digest is deterministic within a process
     assert exec_cache.kernel_source_digest() == exec_cache.kernel_source_digest()
+
+
+def test_exec_cache_key_survives_model_comment_edit():
+    """Dynamic version of the above: actually append a comment to
+    models/vff.py (restored afterwards), recompute digests as a fresh
+    process would, and check the fit-loop key component is unchanged while
+    the package digest (used by the posterior caches, which close over
+    model code) correctly changes."""
+    import os
+
+    from asvgp_tpu.utils import exec_cache
+
+    pkg = os.path.dirname(os.path.dirname(os.path.abspath(exec_cache.__file__)))
+    vff = os.path.join(pkg, "models", "vff.py")
+    with open(vff, "rb") as f:
+        orig = f.read()
+
+    exec_cache._KERNEL_DIGEST = None
+    exec_cache._PKG_DIGEST = None
+    k0 = exec_cache.kernel_source_digest()
+    p0 = exec_cache.package_source_digest()
+    try:
+        with open(vff, "ab") as f:
+            f.write(b"\n# transient comment (test_exec_cache_key...)\n")
+        exec_cache._KERNEL_DIGEST = None
+        exec_cache._PKG_DIGEST = None
+        assert exec_cache.kernel_source_digest() == k0
+        assert exec_cache.package_source_digest() != p0
+    finally:
+        with open(vff, "wb") as f:
+            f.write(orig)
+        exec_cache._KERNEL_DIGEST = None
+        exec_cache._PKG_DIGEST = None

@@ -46,7 +46,16 @@ def ensure_tpu_ready(device=None, timeout_s: float = 600.0) -> float:
     def probe():
         try:
             x = jax.device_put(jnp.float32(1.0), device)
-            jax.block_until_ready(x + 1.0)
+            # force the result to HOST: on this relay block_until_ready can
+            # acknowledge before the device-to-host path has produced
+            # anything (CLAUDE.md), and the D2H path can degrade to
+            # multi-minute stalls independently of the grant (observed
+            # 2026-08-20: grant in 0.9 s, an 8-element sum never returned
+            # within 500 s; every timed phase that day was polluted).  A
+            # health poll that only checks the grant passes right through
+            # that failure mode.
+            if float(x + 1.0) != 2.0:
+                raise RuntimeError("TPU relay returned a wrong value")
             done.set()
         except BaseException as e:  # surfaced to the caller below
             err.append(e)

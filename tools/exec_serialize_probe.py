@@ -16,6 +16,12 @@ Result (round 4, TPU v5 lite0): in-process AND cross-process both exact
 compile 3.7 s).  The round-3 "MISMATCH" was NaN != NaN in a badly seeded
 probe — the direct executable itself produced NaNs, and the deserialized
 one reproduced them bit-exactly.
+
+OPEN (round 4): the deserialized eNATL fit loop EXECUTES ~2x slower than
+the freshly compiled one (35.6 vs 17.7 s; EXPORT_AB pjrt2 42.5 vs 15.0).
+``--steps N`` scales the probe body so repeated-exec timing (printed for
+every variant) can discriminate executable-vs-dispatch in a healthy relay
+window: python tools/exec_serialize_probe.py --steps 2000
 """
 
 import sys as _sys, os as _os
@@ -28,6 +34,8 @@ import numpy as np
 
 import jax
 
+if "--cpu" in _sys.argv:  # env vars are too late on this image (CLAUDE.md)
+    jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 import jax.numpy as jnp  # noqa: E402
@@ -37,16 +45,30 @@ PAYLOAD = "/tmp/asvgp_exec_probe.pkl"
 
 
 def build():
+    steps = 8
+    if "--steps" in _sys.argv:
+        steps = int(_sys.argv[_sys.argv.index("--steps") + 1])
+
     def f(x, y):
         def body(c, _):
             c = jnp.tanh(c @ y) + x
             return c, jnp.sum(c)
-        c, s = jax.lax.scan(body, x, jnp.arange(8))
+        c, s = jax.lax.scan(body, x, jnp.arange(steps))
         return c, s
 
     x = jnp.asarray(0.1 * np.random.RandomState(0).randn(256, 256))
     y = jnp.asarray(0.05 * np.random.RandomState(1).randn(256, 256))
     return f, x, y
+
+
+def time_execs(tag, call, x, y, reps=3):
+    for i in range(reps):
+        t0 = time.time()
+        out = call(x, y)
+        s = float(np.asarray(out[1])[-1])  # force to host through the relay
+        print(f"{tag} exec[{i}]: {time.time()-t0:.3f}s (s={s:.3e})",
+              flush=True)
+    return out
 
 
 def main():
@@ -63,10 +85,8 @@ def main():
         loaded = se.deserialize_and_load(payload, in_tree, out_tree)
         print(f"deserialize_and_load (new process): {time.time()-t0:.2f}s",
               flush=True)
-        t0 = time.time()
-        out = loaded(x, y)
+        out = time_execs("loaded-xproc", loaded, x, y)
         got0 = np.asarray(out[0])
-        print(f"exec: {time.time()-t0:.3f}s", flush=True)
         assert np.isfinite(got0).all(), "probe produced non-finite values"
         err = float(np.abs(got0 - ref0).max())
         print("max abs diff vs direct (cross-process):", err, flush=True)
@@ -76,7 +96,7 @@ def main():
     t0 = time.time()
     compiled = jax.jit(f).lower(x, y).compile()
     print(f"compile: {time.time()-t0:.1f}s", flush=True)
-    ref = compiled(x, y)
+    ref = time_execs("direct", compiled, x, y)
     ref0 = np.asarray(ref[0])
     assert np.isfinite(ref0).all(), "probe produced non-finite values"
 
@@ -95,10 +115,8 @@ def main():
     loaded = se.deserialize_and_load(payload, in_tree, out_tree)
     print(f"deserialize_and_load: {time.time()-t0:.2f}s", flush=True)
 
-    t0 = time.time()
-    out = loaded(x, y)
+    out = time_execs("loaded-inproc", loaded, x, y)
     got0 = np.asarray(out[0])
-    print(f"exec: {time.time()-t0:.3f}s", flush=True)
     err = float(np.abs(got0 - ref0).max())
     print("max abs diff vs direct:", err, flush=True)
     print("OK" if err == 0.0 else "MISMATCH", flush=True)

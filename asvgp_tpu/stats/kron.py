@@ -45,7 +45,22 @@ def _cell_sums(values, bounds, n_cells: int):
     return c[bounds[1:]] - c[bounds[:-1]]
 
 
+def _pairs(k: int):
+    """Unordered index pairs (a, b), a <= b, over 0..k."""
+    return [(a, b) for a in range(k + 1) for b in range(a, k + 1)]
+
+
 def _kron_stats_local(bases, X, y, w=None) -> KronStats:
+    """Batched pair-product build.
+
+    Every T-band series is a 4-product v1[a]·v1[b] · v2[c]·v2[d]; pair
+    symmetry (products commute) dedupes the (k+1)²(k+1)² raw series down to
+    the outer product of per-dimension unordered pairs — 15×15 = 225 unique
+    series at order 4 instead of 525 — and all of them (plus the
+    (k1+1)(k2+1) Kuf·y series) reduce to per-cell sums through ONE shared
+    sorted-cumsum pipeline, batched along lanes in (n, ~128)-column blocks
+    rather than one (n,) cumsum per series.
+    """
     b1, b2 = bases
     k1, k2 = b1.order, b2.order
     m1, m2 = b1.m, b2.m
@@ -72,16 +87,40 @@ def _kron_stats_local(bases, X, y, w=None) -> KronStats:
     ncells = nc1 * nc2
     bounds = jnp.searchsorted(joint_s, jnp.arange(ncells + 1, dtype=jnp.int32))
 
-    def cell_grid(series):
-        """per-joint-cell sums reshaped to (nc1, nc2)."""
-        return _cell_sums(series, bounds, ncells).reshape(nc1, nc2)
+    pairs1 = _pairs(k1)
+    pairs2 = _pairs(k2)
+    p1idx = {p: i for i, p in enumerate(pairs1)}
+    p2idx = {p: i for i, p in enumerate(pairs2)}
+    np1, np2 = len(pairs1), len(pairs2)
+
+    P1 = jnp.stack([v1[:, a] * v1[:, b] for a, b in pairs1], axis=1)
+    P2 = jnp.stack([v2[:, a] * v2[:, b] for a, b in pairs2], axis=1)
+    Y1 = v1 * ys[:, None]
+
+    def cell_block(cols):
+        """(n, c) column block → (nc1, nc2, c) per-cell sums."""
+        c = jnp.cumsum(cols, axis=0)
+        c = jnp.concatenate([jnp.zeros((1, cols.shape[1]), cols.dtype), c], 0)
+        return (c[bounds[1:]] - c[bounds[:-1]]).reshape(nc1, nc2, cols.shape[1])
+
+    # Pair-product cell grids, chunked so a column block is ~128 lanes wide
+    # and (n, 128) f64 stays a modest HBM footprint at n=2M.
+    g = max(1, 128 // np2)
+    t_grids = []
+    for i0 in range(0, np1, g):
+        blk = P1[:, i0:i0 + g, None] * P2[:, None, :]
+        blk = blk.reshape(blk.shape[0], -1)
+        t_grids.append(cell_block(blk))
+    G = jnp.concatenate(t_grids, axis=2)  # (nc1, nc2, np1*np2)
+    ky_cols = (Y1[:, :, None] * v2[:, None, :]).reshape(yf.shape[0], -1)
+    GY = cell_block(ky_cols)  # (nc1, nc2, (k1+1)(k2+1))
 
     # ---- Kuf @ y ----------------------------------------------------------
     kuf_y = jnp.zeros((m1, m2), v1.dtype)
     for s1 in range(k1 + 1):
         for s2 in range(k2 + 1):
-            g = cell_grid(v1[:, s1] * v2[:, s2] * ys)
-            kuf_y = kuf_y.at[s1:s1 + nc1, s2:s2 + nc2].add(g)
+            g_ = GY[:, :, s1 * (k2 + 1) + s2]
+            kuf_y = kuf_y.at[s1:s1 + nc1, s2:s2 + nc2].add(g_)
 
     # ---- multiband of Kuf Kufᵀ --------------------------------------------
     t_rows = []
@@ -92,10 +131,11 @@ def _kron_stats_local(bases, X, y, w=None) -> KronStats:
             s2_lo = max(0, -o2)
             s2_hi = min(k2, k2 - o2)
             for s1 in range(k1 + 1 - p):
+                i = p1idx[(s1, s1 + p)]
                 for s2 in range(s2_lo, s2_hi + 1):
-                    series = v1[:, s1] * v1[:, s1 + p] * v2[:, s2] * v2[:, s2 + o2]
-                    g = cell_grid(series)
-                    acc = acc.at[s1:s1 + nc1, s2:s2 + nc2].add(g)
+                    j = p2idx[(min(s2, s2 + o2), max(s2, s2 + o2))]
+                    g_ = G[:, :, i * np2 + j]
+                    acc = acc.at[s1:s1 + nc1, s2:s2 + nc2].add(g_)
             o2_rows.append(acc)
         t_rows.append(jnp.stack(o2_rows, axis=0))
     t_band = jnp.stack(t_rows, axis=0)

@@ -26,6 +26,8 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
 
+if "--cpu" in sys.argv:  # env vars are too late on this image (CLAUDE.md)
+    jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 jax.config.update("jax_log_compiles", True)
 os.makedirs("/tmp/asvgp_jax_cache", exist_ok=True)
@@ -41,6 +43,7 @@ def main():
     ap.add_argument("--n", type=int, default=2_000_000)
     ap.add_argument("--m", type=int, default=100)
     ap.add_argument("--order", type=int, default=4)
+    ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
     from asvgp_tpu.basis import BSplineBasis
@@ -69,8 +72,11 @@ def main():
     for i in range(3):
         t0 = time.time()
         out = compiled(X, y)
-        jax.block_until_ready(out)
-        print(f"exec[{i}]: {time.time() - t0:7.2f}s", flush=True)
+        # force a value to HOST: block_until_ready alone can acknowledge
+        # before the relay D2H path has produced anything (CLAUDE.md)
+        yty = float(out.yty)
+        print(f"exec[{i}]: {time.time() - t0:7.2f}s (yty={yty:.6g})",
+              flush=True)
 
     # dispatch-path timing (what GPRKron actually does)
     t0 = time.time()

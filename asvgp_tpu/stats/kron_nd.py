@@ -33,10 +33,14 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
-from asvgp_tpu.stats.kron import KronStats, _cell_sums
+from asvgp_tpu.stats.kron import KronStats, _cell_sums, _pairs
 
 
 def _kron_stats_local_nd(bases, X, y, w=None) -> KronStats:
+    """Batched pair-product build — the generic-D version of the D=2
+    pipeline in stats/kron.py: all T-band series dedupe to the outer
+    product of per-dimension unordered index pairs and reduce through one
+    shared sorted-cumsum pipeline in lane-wide column blocks."""
     D = len(bases)
     ks = [b.order for b in bases]
     ms = [b.m for b in bases]
@@ -64,22 +68,60 @@ def _kron_stats_local_nd(bases, X, y, w=None) -> KronStats:
     vs = [v[order] for v in vs]
     ys = yf[order]
     joint_s = joint[order]
+    npts = yf.shape[0]
     ncells = 1
     for nc in ncs:
         ncells *= nc
     bounds = jnp.searchsorted(joint_s, jnp.arange(ncells + 1, dtype=jnp.int32))
 
-    def cell_grid(series):
-        return _cell_sums(series, bounds, ncells).reshape(tuple(ncs))
+    def cell_block(cols):
+        """(n, c) column block → (*ncs, c) per-cell sums."""
+        c = jnp.cumsum(cols, axis=0)
+        c = jnp.concatenate([jnp.zeros((1, cols.shape[1]), cols.dtype), c], 0)
+        return (c[bounds[1:]] - c[bounds[:-1]]).reshape(
+            tuple(ncs) + (cols.shape[1],)
+        )
+
+    pairs_d = [_pairs(k) for k in ks]
+    pidx_d = [{p: i for i, p in enumerate(ps)} for ps in pairs_d]
+    nps = [len(ps) for ps in pairs_d]
+    P_d = [
+        jnp.stack([vs[d][:, a] * vs[d][:, b] for a, b in pairs_d[d]], axis=1)
+        for d in range(D)
+    ]
+
+    # trailing pair-product matrix over dims 2..D, then chunk over dim-1
+    # pairs so each column block is a few hundred lanes at most
+    Q = P_d[1]
+    for d in range(2, D):
+        Q = (Q[:, :, None] * P_d[d][:, None, :]).reshape(npts, -1)
+    trailing = Q.shape[1]
+    g = max(1, 256 // trailing)
+    t_grids = []
+    for i0 in range(0, nps[0], g):
+        blk = (P_d[0][:, i0:i0 + g, None] * Q[:, None, :]).reshape(npts, -1)
+        t_grids.append(cell_block(blk))
+    G = jnp.concatenate(t_grids, axis=-1)  # (*ncs, Π nps)
+
+    KY = vs[0] * ys[:, None]
+    for d in range(1, D):
+        KY = (KY[:, :, None] * vs[d][:, None, :]).reshape(npts, -1)
+    GY = cell_block(KY)  # (*ncs, Π (k_d+1))
+
+    def t_col(pair_idx):  # mixed-radix pair-combination → column in G
+        col = 0
+        for d in range(D):
+            col = col * nps[d] + pair_idx[d]
+        return col
 
     # ---- Kuf @ y ----------------------------------------------------------
     kuf_y = jnp.zeros(tuple(ms), vs[0].dtype)
     for s in product(*[range(k + 1) for k in ks]):
-        series = ys
+        col = 0
         for d in range(D):
-            series = series * vs[d][:, s[d]]
+            col = col * (ks[d] + 1) + s[d]
         sl = tuple(slice(s[d], s[d] + ncs[d]) for d in range(D))
-        kuf_y = kuf_y.at[sl].add(cell_grid(series))
+        kuf_y = kuf_y.at[sl].add(GY[..., col])
 
     # ---- multiband of Kuf Kufᵀ --------------------------------------------
     # axes: (p, o2+k2, ..., oD+kD, j1, ..., jD)
@@ -93,11 +135,12 @@ def _kron_stats_local_nd(bases, X, y, w=None) -> KronStats:
                 for d in range(D - 1)
             ]
             for s in product(*s_ranges):
-                series = vs[0][:, s[0]] * vs[0][:, s[0] + p]
+                pi = [pidx_d[0][(s[0], s[0] + p)]]
                 for d in range(1, D):
-                    series = series * vs[d][:, s[d]] * vs[d][:, s[d] + o[d - 1]]
+                    a, b = s[d], s[d] + o[d - 1]
+                    pi.append(pidx_d[d][(min(a, b), max(a, b))])
                 sl = tuple(slice(s[d], s[d] + ncs[d]) for d in range(D))
-                acc = acc.at[sl].add(cell_grid(series))
+                acc = acc.at[sl].add(G[..., t_col(pi)])
             t_parts[(p,) + o] = acc
 
     # assemble the multiband tensor (stack along offset axes)

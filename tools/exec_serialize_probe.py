@@ -72,6 +72,10 @@ def time_execs(tag, call, x, y, reps=3):
 
 
 def main():
+    from asvgp_tpu.utils.relay import ensure_tpu_ready
+
+    print(f"relay ready in {ensure_tpu_ready(timeout_s=2400):.1f}s",
+          flush=True)
     dev = jax.devices()[0]
     print("device:", dev, flush=True)
     f, x, y = build()

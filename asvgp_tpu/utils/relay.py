@@ -13,6 +13,10 @@ the round-3 NORTHSTAR warm precompute: 256.8 s "warm" = ~250 s grant wait
 completes, so every timed phase that follows starts with the grant already
 held.  It runs the op in a daemon thread so a wedged relay (grant never
 released) raises after ``timeout_s`` instead of hanging the tool forever.
+The default timeout is a full hour: in degraded windows a HEALTHY grant
+has been observed to take 1000-1300 s per fresh process (2026-08-21), and
+a poll that gives up earlier turns a slow-but-working relay into a failed
+artifact run.
 
 Usage (before starting any timers):
 
@@ -29,7 +33,7 @@ import jax
 import jax.numpy as jnp
 
 
-def ensure_tpu_ready(device=None, timeout_s: float = 600.0) -> float:
+def ensure_tpu_ready(device=None, timeout_s: float = 3600.0) -> float:
     """Block until a tiny op completes on ``device`` (default: the first
     device of the default backend).  Returns the wall-clock seconds the op
     took — the relay grant wait plus one tiny compile.  Raises

@@ -22,6 +22,16 @@ the freshly compiled one (35.6 vs 17.7 s; EXPORT_AB pjrt2 42.5 vs 15.0).
 ``--steps N`` scales the probe body so repeated-exec timing (printed for
 every variant) can discriminate executable-vs-dispatch in a healthy relay
 window: python tools/exec_serialize_probe.py --steps 2000
+
+RESULT (2026-08-21, TPU v5 lite0, --steps 2000, relay grant 1287 s):
+direct exec 0.191/0.184/0.185 s vs loaded-inproc 0.225/0.185/0.184 s —
+the deserialized executable is EXECUTION-IDENTICAL (first call +40 ms of
+dispatch warmup only; results bit-exact).  The 2x eNATL discrepancy is
+therefore not a property of loaded executables; prime remaining suspect
+is relay condition during those cross-process measurements (grants took
+15-21 min per fresh process that day — the relay was demonstrably
+degraded).  Cross-process confirmation at the real shape: the eNATL warm
+run's opt exec_s in a healthy window.
 """
 
 import sys as _sys, os as _os

@@ -328,6 +328,34 @@ class GPR1D:
     def training_loss(self, params):
         return -self.elbo(params)
 
+    def loss_args(self):
+        """(pure_loss, data_args, key_tag) for ``fit_lbfgs(data_args=...)``:
+        ``pure_loss(params, *data_args) == training_loss(params)`` with the
+        sufficient statistics as explicit arguments, so a warm process can
+        load the compiled fit loop from disk WITHOUT paying the 60-75 s
+        closure-hoist loss trace.  Everything else the loss structure
+        depends on (basis tables, nu2, backend, dtype) is baked into the
+        executable, so it is folded into key_tag."""
+        basis, nu2, backend = self.basis, self.nu2, self.backend
+        from asvgp_tpu.banded import ops as _bops
+
+        def pure_loss(params, kufkfu_band, kuf_y, yty, n):
+            with _bops.impl_scope(backend):
+                kernel = params_to_kernel(params, nu2)
+                lik = params_to_likelihood(params)
+                stats = SufficientStats(
+                    kuf_y=kuf_y, kufkfu_band=kufkfu_band, yty=yty, n=n
+                )
+                kdiag_sum = n * kernel.variance
+                return -collapsed_elbo_matern(
+                    stats, basis, nu2, kernel.variance, kernel.lengthscales,
+                    lik.variance, kdiag_sum,
+                )
+
+        s = self.stats
+        tag = f"gpr1d-{_basis_tag(basis)}-nu{nu2}-be{backend}-dt{self.dtype}"
+        return pure_loss, (s.kufkfu_band, s.kuf_y, s.yty, s.n), tag
+
     # ---- prediction ---------------------------------------------------------
     def _posterior_bands(self, params):
         from asvgp_tpu.utils import exec_cache as _ec

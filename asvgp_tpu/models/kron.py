@@ -245,6 +245,26 @@ class GPRKron:
     def training_loss(self, params):
         return -self.elbo(params)
 
+    def loss_args(self):
+        """(pure_loss, data_args, key_tag) for ``fit_lbfgs(data_args=...)``
+        — see GPR1D.loss_args.  The statistics (t_band is the big one) are
+        explicit arguments; basis tables / nu2s / backend are baked into
+        the executable and folded into key_tag."""
+        bases, nu2s, backend = self.bases, self.nu2s, self.backend
+        from asvgp_tpu.banded import ops as _bops
+        from asvgp_tpu.models.gpr1d import _basis_tag
+
+        def pure_loss(params, kuf_y, t_band, yty, n):
+            with _bops.impl_scope(backend):
+                stats = KronStats(kuf_y=kuf_y, t_band=t_band, yty=yty, n=n)
+                return -kron_collapsed_elbo(bases, nu2s, params, stats)
+
+        s = self.stats
+        tag = "kron-" + "-".join(
+            f"{_basis_tag(b)}nu{nu}" for b, nu in zip(bases, nu2s)
+        ) + f"-be{backend}"
+        return pure_loss, (s.kuf_y, s.t_band, s.yty, s.n), tag
+
     # ---- prediction -----------------------------------------------------------
     def posterior(self, params) -> "PosteriorKron":
         """Factor once, predict many (mirrors GPR1D.posterior): the block-

@@ -47,7 +47,7 @@ def _hoist_closure(loss_fn, params):
 def fit_lbfgs(loss_fn, params, *, max_iters: int = 500, tol: float = 1e-8,
               memory_size: int = 20, timings: dict | None = None,
               cache: dict | None = None, export_dir: str | None = None,
-              info: dict | None = None):
+              info: dict | None = None, data_args=None, key_extra: str = ""):
     """Minimize ``loss_fn`` over the ``params`` pytree with L-BFGS + zoom
     line search.  Returns (params, final_loss, num_iters).
 
@@ -77,6 +77,20 @@ def fit_lbfgs(loss_fn, params, *, max_iters: int = 500, tol: float = 1e-8,
     loss (cheap — the kernel traces are cached) plus execution.  The caller
     must not vary max_iters/tol/memory_size under one cache.
 
+    ``data_args``: optional tuple of arrays such that
+    ``loss_fn(params, *data_args)`` is the loss with the training data
+    explicit.  This SKIPS the closure hoist — a full loss trace that costs
+    60-75 s per process at production scales (each distinct Pallas kernel
+    body is ~15 s of Python tracing) and runs even when the compiled blob
+    loads from disk.  The disk-cache key then cannot include a jaxpr
+    digest, so it is keyed on the whole-package source digest plus
+    ``key_extra`` instead — the CALLER must put every non-array input that
+    shapes the loss into ``key_extra`` (basis domain/order/m, kernel nu2,
+    backend choice; see GPR1D.loss_args / GPRKron.loss_args) because any
+    array NOT in ``data_args`` is baked into the executable as a literal.
+    The ambient banded-ops impl/twist scopes and the ASVGP_PANEL /
+    ASVGP_BLOCK_UNROLL env switches are folded into the key automatically.
+
     ``export_dir``: optional directory for CROSS-PROCESS reuse of the
     compiled optimization loop.  Default mode stores the compiled PjRt
     EXECUTABLE (``jax.experimental.serialize_executable``): the cold run
@@ -103,7 +117,10 @@ def fit_lbfgs(loss_fn, params, *, max_iters: int = 500, tol: float = 1e-8,
         linesearch=optax.scale_by_zoom_linesearch(max_linesearch_steps=30),
     )
 
-    closed_fn, consts, closed = _hoist_closure(loss_fn, params)
+    if data_args is not None:
+        closed_fn, consts, closed = loss_fn, list(data_args), None
+    else:
+        closed_fn, consts, closed = _hoist_closure(loss_fn, params)
     if cache is not None and not consts:
         raise ValueError(
             "fit_lbfgs(cache=...) needs the loss's data hoisted as "
@@ -195,9 +212,30 @@ def fit_lbfgs(loss_fn, params, *, max_iters: int = 500, tol: float = 1e-8,
             # the CPU leg would load a TPU-compiled blob)
             device = _ec.params_device(params)
             platform = device.platform
+            if closed is not None:
+                struct_digest = _ec.jaxpr_digest(closed)
+            else:
+                # no jaxpr to digest on the data_args fast path: key on the
+                # whole-package sources + everything the caller/ambient
+                # state folds into the loss structure
+                import hashlib as _hashlib
+
+                from asvgp_tpu.banded import ops as _bops
+
+                ambient = "|".join(
+                    [
+                        key_extra,
+                        _bops._current_impl(),
+                        f"tw{int(_bops._twist_enabled())}",
+                        _os.environ.get("ASVGP_PANEL", ""),
+                        _os.environ.get("ASVGP_BLOCK_UNROLL", ""),
+                    ]
+                )
+                struct_digest = "a" + _ec.package_source_digest() + \
+                    _hashlib.sha256(ambient.encode()).hexdigest()[:12]
             ckey = "-".join(
                 [
-                    _ec.jaxpr_digest(closed),
+                    struct_digest,
                     _ec.avals_digest((params, consts)),
                     f"i{max_iters}t{tol}m{memory_size}",
                     platform,

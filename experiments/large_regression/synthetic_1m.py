@@ -66,10 +66,12 @@ def run_split(args, seed, fit_cache=None):
 
     t0 = time.time()
     fit_info = {}
+    loss_fn, dargs, ktag = model.loss_args()
     params, loss, iters = fit_lbfgs(
-        jax.jit(model.training_loss), model.init_params(),
+        loss_fn, model.init_params(),
         max_iters=args.iters, cache=fit_cache, info=fit_info,
         export_dir=os.environ["ASVGP_EXEC_CACHE_DIR"],
+        data_args=dargs, key_extra=ktag,
     )
     jax.block_until_ready(loss)
     t_opt = time.time() - t0

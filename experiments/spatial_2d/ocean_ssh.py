@@ -103,10 +103,12 @@ def main():
     opt_timings = {}
     fit_info = {}
     with clock.section("optimize"):
+        loss_fn, dargs, ktag = model.loss_args()
         params, loss, iters = fit_lbfgs(
-            jax.jit(model.training_loss), model.init_params(),
+            loss_fn, model.init_params(),
             max_iters=args.iters, timings=opt_timings, info=fit_info,
             export_dir=os.environ["ASVGP_EXEC_CACHE_DIR"],
+            data_args=dargs, key_extra=ktag,
         )
         jax.block_until_ready(loss)
     print(f"optimize: {clock.times['optimize']:.1f}s "

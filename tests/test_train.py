@@ -195,6 +195,59 @@ def test_fit_lbfgs_pjrt_cache_roundtrip(tmp_path):
     _export_roundtrip_case(tmp_path, ".pjrt")
 
 
+def test_fit_lbfgs_data_args_matches_closure_path(tmp_path):
+    """The data_args fast path (no closure hoist: the warm-process trace
+    saver used by the protocol drivers) must produce the same fit as the
+    hoisted path, reuse its disk blob across same-structure fits on new
+    data, and work with the in-process refit cache."""
+    import os
+
+    rng = np.random.RandomState(2)
+    x = rng.uniform(0.05, 0.95, 300)
+    y1 = np.sin(6 * x) + 0.1 * rng.randn(300)
+    y2 = np.cos(4 * x) + 0.2 * rng.randn(300)
+    basis = B3Spline(0.0, 1.0, 40)
+    d = str(tmp_path / "export")
+
+    m1 = GPR1D((x, y1), Matern32(), basis)
+    p1h, l1h, _ = fit_lbfgs(
+        jax.jit(m1.training_loss), m1.init_params(), max_iters=40,
+    )
+    fn1, dargs1, tag1 = m1.loss_args()
+    cache = {}
+    p1a, l1a, _ = fit_lbfgs(
+        fn1, m1.init_params(), max_iters=40,
+        data_args=dargs1, key_extra=tag1, export_dir=d, cache=cache,
+    )
+    np.testing.assert_allclose(float(l1a), float(l1h), rtol=1e-9)
+    for ka, kb in zip(jax.tree.leaves(p1a), jax.tree.leaves(p1h)):
+        np.testing.assert_allclose(np.asarray(ka), np.asarray(kb), rtol=1e-6)
+    blobs = os.listdir(d)
+    assert len(blobs) == 1 and blobs[0].endswith(".pjrt")
+
+    # same structure, new data: blob AND refit cache reused, result = fresh
+    m2 = GPR1D((x, y2), Matern32(), basis)
+    fn2, dargs2, tag2 = m2.loss_args()
+    assert tag2 == tag1
+    p2a, l2a, _ = fit_lbfgs(
+        fn2, m2.init_params(), max_iters=40,
+        data_args=dargs2, key_extra=tag2, export_dir=d,
+    )
+    assert os.listdir(d) == blobs  # reused, not re-written
+    p2c, l2c, _ = fit_lbfgs(
+        fn2, m2.init_params(), max_iters=40,
+        data_args=dargs2, key_extra=tag2, cache=cache,
+    )
+    p2, l2, _ = fit_lbfgs(
+        jax.jit(m2.training_loss), m2.init_params(), max_iters=40,
+    )
+    np.testing.assert_allclose(float(l2a), float(l2), rtol=1e-9)
+    np.testing.assert_allclose(float(l2c), float(l2), rtol=1e-9)
+    for ka, kb in zip(jax.tree.leaves(p2a), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(np.asarray(ka), np.asarray(kb), rtol=1e-6)
+    assert abs(float(l2a) - float(l1a)) > 1e-6  # not the first fit's data
+
+
 def test_fit_lbfgs_export_mode_roundtrip(tmp_path, monkeypatch):
     # round-3 jax.export control path, kept for the A/B probe
     monkeypatch.setenv("ASVGP_CACHE_MODE", "export")

@@ -76,10 +76,12 @@ def run_leg(device, train, test, steady=False):
 
         t0 = time.time()
         opt_timings = {}
+        loss_fn, dargs, ktag = model.loss_args()
         params, loss, iters = fit_lbfgs(
-            jax.jit(model.training_loss), model.init_params(),
+            loss_fn, model.init_params(),
             max_iters=MAX_ITERS, timings=opt_timings, cache=fit_cache,
             export_dir="/tmp/asvgp_export_cache",
+            data_args=dargs, key_extra=ktag,
         )
         jax.block_until_ready(loss)
         t_opt = time.time() - t0
@@ -145,9 +147,11 @@ def run_leg(device, train, test, steady=False):
             jax.block_until_ready(model2.stats.kuf_y)
             t_pre2 = time.time() - t0
             t0 = time.time()
+            loss2_fn, dargs2, ktag2 = model2.loss_args()
             params2, loss2, iters2 = fit_lbfgs(
-                jax.jit(model2.training_loss), model2.init_params(),
+                loss2_fn, model2.init_params(),
                 max_iters=MAX_ITERS, cache=fit_cache,
+                data_args=dargs2, key_extra=ktag2,
             )
             float(loss2)
             t_fit2 = time.time() - t0

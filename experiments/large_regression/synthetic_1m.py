@@ -188,6 +188,13 @@ def main():
                     help="write a JSON metrics artifact here")
     args = ap.parse_args()
 
+    # absorb any relay grant-wait BEFORE the timed phases (utils/relay.py;
+    # recorded in the artifact, never inside a fold's timing fields)
+    from asvgp_tpu.utils.relay import ensure_tpu_ready
+
+    relay_wait_s = ensure_tpu_ready()
+    print(f"relay ready in {relay_wait_s:.1f}s", flush=True)
+
     # one compiled-loop cache across splits (the reference's 5-fold protocol
     # refits per split in one process; electricity.py)
     fit_cache = {}
@@ -211,6 +218,7 @@ def main():
                 {
                     "config": vars(args),
                     "device": str(jax.devices()[0]),
+                    "relay_wait_s": round(relay_wait_s, 2),
                     "rows": rows,
                     "table": table,
                 },

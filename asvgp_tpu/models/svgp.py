@@ -34,6 +34,7 @@ stochastic training (the BASELINE.md minibatch-ELBO capability).
 from __future__ import annotations
 
 import math
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -198,8 +199,20 @@ class SVGP1D:
 
 
 def fit_svgp(model: SVGP1D, X, y, params, *, batch_size=1024, steps=2000,
-             learning_rate=1e-2, seed=0):
-    """Minibatch Adam training of the SVGP (jitted lax.scan loop)."""
+             learning_rate=1e-3, seed=0, chunk=2000):
+    """Minibatch Adam training of the SVGP (jitted lax.scan loop).
+
+    ``learning_rate`` defaults to 1e-3 = the reference baseline's
+    ``tf.optimizers.Adam()`` default (electricity.py:57); at the reference
+    protocol's batch of 100, 1e-2 diverges (NaN within 2000 steps on the
+    log-scale precision diagonal — tools/svgp_fault_probe.py).
+
+    ``chunk``: maximum scan length per executable call.  The full 10k-step
+    protocol is ~19 min of continuous device time in ONE call at m=1000,
+    which this image's TPU relay kills ("UNAVAILABLE: TPU device error");
+    chunking bounds each call at a few minutes with identical math (the
+    optimizer state and PRNG key are carried across calls).
+    """
     x = jnp.reshape(jnp.asarray(X), (-1,))
     yf = jnp.reshape(jnp.asarray(y), (-1,))
     n = x.shape[0]
@@ -207,24 +220,27 @@ def fit_svgp(model: SVGP1D, X, y, params, *, batch_size=1024, steps=2000,
         model.num_data = int(n)
     opt = optax.adam(learning_rate)
 
-    @jax.jit
-    def run(params, key):
-        state = opt.init(params)
-
-        def step(carry, _):
-            params, state, key = carry
-            key, sub = jax.random.split(key)
-            idx = jax.random.randint(sub, (batch_size,), 0, n)
-            loss, grads = jax.value_and_grad(model.training_loss)(
-                params, x[idx], yf[idx]
-            )
-            updates, state = opt.update(grads, state, params)
-            params = optax.apply_updates(params, updates)
-            return (params, state, key), loss
-
-        (params, _, _), losses = jax.lax.scan(
-            step, (params, state, key), None, length=steps
+    def step(carry, _):
+        params, state, key = carry
+        key, sub = jax.random.split(key)
+        idx = jax.random.randint(sub, (batch_size,), 0, n)
+        loss, grads = jax.value_and_grad(model.training_loss)(
+            params, x[idx], yf[idx]
         )
-        return params, losses
+        updates, state = opt.update(grads, state, params)
+        params = optax.apply_updates(params, updates)
+        return (params, state, key), loss
 
-    return run(params, jax.random.PRNGKey(seed))
+    @partial(jax.jit, static_argnames=("length",))
+    def run_chunk(carry, length):
+        return jax.lax.scan(step, carry, None, length=length)
+
+    carry = (params, opt.init(params), jax.random.PRNGKey(seed))
+    chunks = []
+    done = 0
+    while done < steps:
+        length = min(chunk, steps - done)
+        carry, losses = run_chunk(carry, length)
+        chunks.append(losses)
+        done += length
+    return carry[0], jnp.concatenate(chunks)

@@ -57,11 +57,12 @@ def fit_lbfgs(loss_fn, params, *, max_iters: int = 500, tol: float = 1e-8,
     tables use this to distinguish converged folds from truncated ones.
 
     ``loss_fn``'s closed-over arrays (model sufficient statistics — MBs at
-    the eNATL scale) are hoisted into runtime arguments with
-    ``jax.closure_convert`` before jitting: otherwise they are embedded in
-    the HLO as literal constants, which bloats the executable (176 MB
-    observed), slows compilation, and makes the persistent-compile-cache
-    key depend on the data values so no two runs ever share a cache entry.
+    the eNATL scale) are hoisted into runtime arguments via
+    ``_hoist_closure`` before jitting (unless ``data_args`` makes them
+    explicit): otherwise they are embedded in the HLO as literal constants,
+    which bloats the executable (176 MB observed), slows compilation, and
+    makes the persistent-compile-cache key depend on the data values so no
+    two runs ever share a cache entry.
 
     ``timings``: optional dict; if given, the trace / compile-or-load /
     execute phases are staged separately and their wall-times recorded

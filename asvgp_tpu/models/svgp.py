@@ -13,12 +13,27 @@ cov(f(x), u) = φ(x) (reproducing property):
     E[f(x) | ν]   = φ(x)ᵀ ν                       (no Kuu solve per point!)
     var[f(x) | ν] = k(x,x) − φᵀ Kuu⁻¹ φ           (prior gap)
 
-We take q(ν) = N(mu, (R Rᵀ)⁻¹) with R *lower-banded* with bandwidth k.
+We take q(ν) = N(mu, Λ⁻¹) with the precision ANCHORED AT THE PRIOR:
+
+    Λ(θ, C) = Kuu(θ) + C Cᵀ,   C lower-banded, bandwidth k, trainable.
+
 The Titsias-optimal posterior is q*(u) = N(σ⁻²Kuu P⁻¹Kuf y, Kuu P⁻¹Kuu)
-with P = Kuu + KufKfuᵀ/σ², so in ν-space precision*_ν = P — banded with
-bandwidth exactly k.  The banded family therefore CONTAINS the exact
-optimum while costing O(m·k) parameters instead of gpflow's O(m²).
-Every ELBO term is banded:
+with P = Kuu + KufKfuᵀ/σ², so in ν-space precision*_ν = P and the optimal
+correction is C* = chol(KufKfu)/σ — lower-banded with bandwidth exactly
+k.  The anchored banded family therefore CONTAINS the exact optimum while
+costing O(m·k) parameters instead of gpflow's O(m²).
+
+Why anchored and not a free banded Cholesky factor R?  κ(Kuu) reaches
+1e10-1e12 at production scales (CLAUDE.md numerics), and a generic R
+initialized at chol(Kuu) is catastrophically sensitive there: one Adam
+step (|δ| ~ lr) tilts RRᵀ off its Kuu-dominance and Σ = (RRᵀ)⁻¹ blows
+past Kuu⁻¹ by factors of κ — the KL trace hit 1e27 within 10 steps of
+batch-100 training (tools/svgp_fault_probe.py, CPU f64, so not a TPU
+artifact).  With Λ = Kuu + CCᵀ ≽ Kuu for EVERY C, Σ ≼ Kuu⁻¹ in the PSD
+order, hence tr(Kuu Σ) ≤ m identically — the explosion is structurally
+impossible, while gradients still reach the exact optimum.
+
+Every ELBO term is banded (R below = chol(Λ), a banded Cholesky):
 
     KL(q(ν) ‖ p(ν)) = ½[ tr(Kuu Σ) + muᵀ Kuu mu − m − log|Kuu| − log|Σ| ]
       tr(Kuu Σ)  = band-Frobenius(Kuu, Takahashi band of R)   (exact: Kuu
@@ -69,17 +84,15 @@ class SVGP1D:
         self.q_bandwidth = basis.order if q_bandwidth is None else q_bandwidth
 
     def init_params(self):
-        """Initialize q(ν) at the PRIOR p(ν) = N(0, Kuu⁻¹): R = chol(Kuu),
-        KL = 0, predictive variance = prior variance.  Matches gpflow's
-        q_sqrt-at-prior convention and starts the log-scale diagonal at the
-        right order of magnitude."""
+        """Initialize q(ν) at the PRIOR p(ν) = N(0, Kuu⁻¹): C = 0, so
+        Λ = Kuu, KL = 0, predictive variance = prior variance.  NOTE:
+        C = 0 is an exact stationary point of the ELBO in C (every
+        C-dependence factors through CCᵀ, so ∂/∂C vanishes at 0) —
+        gradient training must NOT start exactly here; ``fit_svgp``
+        replaces an all-zero C with the data-optimal correction
+        chol(KufKfu)/σ before stepping."""
         m = self.basis.m
-        kuu = make_kuu(self.kernel_init, self.basis)
-        l0 = banded.cholesky_band(kuu)  # bandwidth = basis.order
         raw = jnp.zeros((self.q_bandwidth + 1, m), jnp.result_type(float))
-        raw = raw.at[0].set(jnp.log(l0[0]))
-        rows = min(self.q_bandwidth, l0.shape[0] - 1)
-        raw = raw.at[1 : 1 + rows].set(l0[1 : 1 + rows] / l0[0])
         return {
             "kernel": {
                 "raw_variance": positive_inverse(self.kernel_init.variance),
@@ -87,37 +100,41 @@ class SVGP1D:
             },
             "likelihood": {"raw_variance": positive_inverse(self.noise_variance_init)},
             "q_mu": jnp.zeros((m,), jnp.result_type(float)),
-            "q_prec_band": raw,
+            "q_prec_corr": raw,
         }
 
     def _build(self, params):
         return params_to_kernel(params, self.nu2), params_to_likelihood(params)
 
-    def _r_band(self, params):
-        """Banded Cholesky factor R of the variational precision.
-
-        Parameterization chosen for OPTIMIZER REACHABILITY, not just
-        positivity: the optimal precision is P = Kuu + KufKfu/σ², whose
-        Cholesky diagonal is O(√(N/m)/σ) — 10²–10⁴ at production scale.
-        Adam moves a raw parameter by ≲ lr·steps, so a softplus/linear raw
-        diagonal can NEVER reach the optimum in a realistic step budget
-        (this exact failure produced a ×4 NLPD miscalibration at N=10⁶:
-        variance stuck at its init while the mean trained fine).  Hence:
-          diag     R[0] = exp(raw[0])          (log scale: multiplicative)
-          off-diag R[q] = raw[q] · R[0]        (relative to the column diag,
-                                                 O(1) at the optimum)
-        """
-        raw = params["q_prec_band"]
-        d = jnp.exp(raw[:1])
-        r = jnp.concatenate([d, raw[1:] * d], axis=0)
-        return banded.mask_lower_band(r)
+    def _r_band(self, params, kuu):
+        """R = chol(Λ) with Λ = Kuu + CCᵀ (see module docstring): the
+        banded Cholesky of the prior-anchored variational precision."""
+        c = banded.mask_lower_band(params["q_prec_corr"])
+        k = c.shape[0] - 1
+        cct = banded.product_band_band(
+            c, banded.transpose_lower_band(c),
+            a_lower=k, a_upper=0, b_lower=0, b_upper=k,
+            out_lower=k, out_upper=0,
+        )
+        lam = kuu
+        if cct.shape[0] > lam.shape[0]:
+            pad = jnp.zeros(
+                (cct.shape[0] - lam.shape[0], lam.shape[1]), lam.dtype
+            )
+            lam = jnp.concatenate([lam, pad], axis=0)
+        elif cct.shape[0] < lam.shape[0]:
+            pad = jnp.zeros(
+                (lam.shape[0] - cct.shape[0], cct.shape[1]), cct.dtype
+            )
+            cct = jnp.concatenate([cct, pad], axis=0)
+        return banded.cholesky_band(lam + cct)
 
     # ---- KL(q(ν) || p(ν)), p(ν) = N(0, Kuu⁻¹) ------------------------------
     def kl(self, params):
         kernel, _ = self._build(params)
         kuu = make_kuu(kernel, self.basis)
         m = self.basis.m
-        R = self._r_band(params)
+        R = self._r_band(params, kuu)
         mu = params["q_mu"]
 
         l_kuu = banded.cholesky_band(kuu)
@@ -141,10 +158,10 @@ class SVGP1D:
             else jnp.asarray(1.0, yf.dtype)
         )
 
-        R = self._r_band(params)
+        kuu = make_kuu(kernel, self.basis)
+        R = self._r_band(params, kuu)
         sigma_band = banded.takahashi_inverse_band(R)
 
-        kuu = make_kuu(kernel, self.basis)
         l_kuu = banded.cholesky_band(kuu)
         kuu_inv_band = banded.takahashi_inverse_band(l_kuu)
 
@@ -174,9 +191,9 @@ class SVGP1D:
 
     def _predict_f_arrays(self, params, Xnew):
         kernel, _ = self._build(params)
-        R = self._r_band(params)
-        sigma_band = banded.takahashi_inverse_band(R)
         kuu = make_kuu(kernel, self.basis)
+        R = self._r_band(params, kuu)
+        sigma_band = banded.takahashi_inverse_band(R)
         l_kuu = banded.cholesky_band(kuu)
         kuu_inv_band = banded.takahashi_inverse_band(l_kuu)
 
@@ -218,6 +235,32 @@ def fit_svgp(model: SVGP1D, X, y, params, *, batch_size=1024, steps=2000,
     n = x.shape[0]
     if model.num_data is None:
         model.num_data = int(n)
+
+    if not bool(jnp.any(params["q_prec_corr"])):
+        # C = 0 (the prior) is an exact stationary point in C — seed the
+        # correction at the Titsias-optimal C* = chol(KufKfu)/σ for the
+        # initial hyperparameters (O(N k²) one-time, same sufficient
+        # statistic GPR1D precomputes).  Adam then refines around the
+        # optimum instead of being stuck at the prior.
+        from asvgp_tpu.models.parameters import positive
+        from asvgp_tpu.stats.sufficient import compute_stats
+
+        stats = jax.jit(
+            lambda xx, yy: compute_stats(model.basis, xx, yy)
+        )(x, yf)
+        sigma0 = jnp.sqrt(positive(params["likelihood"]["raw_variance"]))
+        band = stats.kufkfu_band
+        jitter = 1e-10 * jnp.max(band[0])
+        band = band.at[0].add(jitter)
+        c0 = banded.cholesky_band(band) / sigma0
+        kq = params["q_prec_corr"].shape[0] - 1
+        ko = c0.shape[0] - 1
+        if kq > ko:
+            c0 = jnp.concatenate(
+                [c0, jnp.zeros((kq - ko, c0.shape[1]), c0.dtype)], axis=0
+            )
+        params = {**params, "q_prec_corr": c0[: kq + 1]}
+
     opt = optax.adam(learning_rate)
 
     def step(carry, _):

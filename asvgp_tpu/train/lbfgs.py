@@ -47,14 +47,21 @@ def _hoist_closure(loss_fn, params):
 def fit_lbfgs(loss_fn, params, *, max_iters: int = 500, tol: float = 1e-8,
               memory_size: int = 20, timings: dict | None = None,
               cache: dict | None = None, export_dir: str | None = None,
-              info: dict | None = None, data_args=None, key_extra: str = ""):
+              info: dict | None = None, data_args=None, key_extra: str = "",
+              restarts: int = 0):
     """Minimize ``loss_fn`` over the ``params`` pytree with L-BFGS + zoom
     line search.  Returns (params, final_loss, num_iters).
 
     ``info``: optional dict; if given, records ``grad_norm`` (final
-    gradient norm) and ``converged`` (grad_norm < tol — i.e. the loop
-    stopped on the tolerance rather than the iteration cap).  Protocol
-    tables use this to distinguish converged folds from truncated ones.
+    gradient norm), ``converged`` (grad_norm < tol — i.e. the loop
+    stopped on the tolerance rather than the iteration cap) and
+    ``restarts`` (stall-escape reruns actually used).  Protocol tables
+    use this to distinguish converged folds from truncated ones.
+
+    ``restarts``: rerun the loop (fresh L-BFGS memory/line-search state,
+    same point) up to this many extra times while unconverged — the
+    standard escape for a wedged zoom line search; each rerun reuses the
+    compiled executable and can add up to ``max_iters`` iterations.
 
     ``loss_fn``'s closed-over arrays (model sufficient statistics — MBs at
     the eNATL scale) are hoisted into runtime arguments via
@@ -169,23 +176,51 @@ def fit_lbfgs(loss_fn, params, *, max_iters: int = 500, tol: float = 1e-8,
             (a.shape, str(a.dtype)) for a in jax.tree.leaves(tree)
         )
 
-    def _record_info(grad_norm):
+    def _record_info(grad_norm, restarts_used=0):
         if info is not None:
             info["grad_norm"] = float(grad_norm)
             info["converged"] = bool(float(grad_norm) < tol)
+            info["restarts"] = restarts_used
+
+    def _with_restarts(invoke, params):
+        """Run the compiled loop, then restart it (fresh L-BFGS memory and
+        line-search state, same hyperparameter point) while the gradient
+        norm says it stalled rather than converged.  The classic escape for
+        a failed zoom line search — on this TPU's emulated f64 the Wolfe
+        decisions occasionally wedge at a high-gradient point that a
+        memory-reset fit walks straight out of (SYNTH1M fold-5: CPU
+        converges to -206k, the one-shot TPU fit stalled at -229k with
+        |g|~1e5).  Each extra call reuses the same executable."""
+        params, iters, final_loss, grad_norm = jax.block_until_ready(
+            invoke(params)
+        )
+        iters = int(iters)
+        used = 0
+        for _ in range(restarts):
+            if float(grad_norm) < tol:
+                break
+            params, it2, final_loss, grad_norm = jax.block_until_ready(
+                invoke(params)
+            )
+            iters += int(it2)
+            used += 1
+        return params, iters, final_loss, grad_norm, used
 
     key = (_avals(params), _avals(consts))
     if cache is not None and cache.get("key") == key:
         compiled = cache["compiled"]
-        params, iters, final_loss, grad_norm = jax.block_until_ready(
-            compiled(params, consts)
+        params, iters, final_loss, grad_norm, used = _with_restarts(
+            lambda p: compiled(p, consts), params
         )
-        _record_info(grad_norm)
+        _record_info(grad_norm, used)
         return params, final_loss, iters
 
     if timings is None and cache is None and export_dir is None:
-        params, iters, final_loss, grad_norm = jax.jit(run)(params, consts)
-        _record_info(grad_norm)
+        jitted = jax.jit(run)
+        params, iters, final_loss, grad_norm, used = _with_restarts(
+            lambda p: jitted(p, consts), params
+        )
+        _record_info(grad_norm, used)
     else:
         import time as _time
 
@@ -298,10 +333,10 @@ def fit_lbfgs(loss_fn, params, *, max_iters: int = 500, tol: float = 1e-8,
             cache["key"] = key
             cache["compiled"] = compiled
         t0 = _time.time()
-        params, iters, final_loss, grad_norm = jax.block_until_ready(
-            compiled(params, consts)
+        params, iters, final_loss, grad_norm, used = _with_restarts(
+            lambda p: compiled(p, consts), params
         )
         float(final_loss)
         timings["exec_s"] = round(_time.time() - t0, 2)
-        _record_info(grad_norm)
+        _record_info(grad_norm, used)
     return params, final_loss, iters

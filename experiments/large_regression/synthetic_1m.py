@@ -71,7 +71,7 @@ def run_split(args, seed, fit_cache=None):
         loss_fn, model.init_params(),
         max_iters=args.iters, cache=fit_cache, info=fit_info,
         export_dir=os.environ["ASVGP_EXEC_CACHE_DIR"],
-        data_args=dargs, key_extra=ktag,
+        data_args=dargs, key_extra=ktag, restarts=args.restarts,
     )
     jax.block_until_ready(loss)
     t_opt = time.time() - t0
@@ -95,6 +95,7 @@ def run_split(args, seed, fit_cache=None):
         # siblings with converged=False needs more iterations, not debugging)
         "grad_norm": fit_info.get("grad_norm"),
         "converged": fit_info.get("converged"),
+        "restarts": fit_info.get("restarts"),
         "noise_variance": float(positive(params["likelihood"]["raw_variance"])),
     }
 
@@ -184,6 +185,10 @@ def main():
     ap.add_argument("--order", type=int, default=3)
     ap.add_argument("--splits", type=int, default=5)
     ap.add_argument("--iters", type=int, default=200)
+    # stall-escape reruns (fresh L-BFGS memory from the reached point);
+    # the reference's scipy L-BFGS default cap is 1000 iterations, so up
+    # to 3x200 stays well inside its budget
+    ap.add_argument("--restarts", type=int, default=2)
     ap.add_argument("--adam-baseline", action="store_true")
     ap.add_argument("--svgp-baseline", action="store_true")
     ap.add_argument("--vff-baseline", action="store_true")

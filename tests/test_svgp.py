@@ -35,7 +35,8 @@ def test_optimal_q_recovers_collapsed_elbo():
     p = gpr.init_params()
     collapsed = float(gpr.elbo(p))
 
-    # build the optimal (mu_ν, R) from the collapsed sufficient statistics
+    # build the optimal (mu_ν, C) from the collapsed sufficient statistics:
+    # precision*_ν = P = Kuu + KufKfu/σ²  ⇒  C* = chol(KufKfu)/σ
     kuu = make_kuu(kernel, basis)
     p_band = gpr.stats.kufkfu_band / noise + kuu
     l_p = banded.cholesky_band(p_band)
@@ -43,8 +44,8 @@ def test_optimal_q_recovers_collapsed_elbo():
 
     svgp = SVGP1D(kernel, basis, noise_variance=noise, num_data=x.shape[0])
     sp = svgp.init_params()
-    raw = jnp.concatenate([jnp.log(l_p[:1]), l_p[1:] / l_p[0]], axis=0)
-    sp = {**sp, "q_mu": mu, "q_prec_band": raw}
+    c_star = banded.cholesky_band(gpr.stats.kufkfu_band) / np.sqrt(noise)
+    sp = {**sp, "q_mu": mu, "q_prec_corr": c_star}
 
     uncollapsed = float(svgp.elbo(sp, x, y))
     np.testing.assert_allclose(uncollapsed, collapsed, rtol=1e-9)
@@ -71,9 +72,8 @@ def test_svgp_predict_matches_gpr_at_optimum():
     sp = {
         **sp,
         "q_mu": mu,
-        "q_prec_band": jnp.concatenate(
-            [jnp.log(l_p[:1]), l_p[1:] / l_p[0]], axis=0
-        ),
+        "q_prec_corr": banded.cholesky_band(gpr.stats.kufkfu_band)
+        / np.sqrt(noise),
     }
     mean_s, var_s = svgp.predict_f(sp, x[:50])
     np.testing.assert_allclose(np.asarray(mean_s), np.asarray(mean_g), atol=1e-10)

@@ -60,9 +60,14 @@ def main():
         svgp, x, y, svgp.init_params(),
         batch_size=args.batch, steps=args.steps,
     )
-    last = float(np.asarray(losses)[-1])  # host round-trip
-    print(f"batch={args.batch} steps={args.steps}: OK in "
-          f"{time.time()-t0:.1f}s, final loss {last:.2f}", flush=True)
+    ls = np.asarray(losses)  # host round-trip
+    bad = np.flatnonzero(~np.isfinite(ls))
+    onset = int(bad[0]) if bad.size else -1
+    print(f"batch={args.batch} steps={args.steps}: ran in "
+          f"{time.time()-t0:.1f}s, final loss {float(ls[-1]):.2f}, "
+          f"first non-finite step {onset}", flush=True)
+    for k in range(0, len(ls), max(1, len(ls) // 10)):
+        print(f"  loss[{k}] = {float(ls[k]):.3f}", flush=True)
 
 
 if __name__ == "__main__":

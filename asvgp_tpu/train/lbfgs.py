@@ -199,11 +199,18 @@ def fit_lbfgs(loss_fn, params, *, max_iters: int = 500, tol: float = 1e-8,
         for _ in range(restarts):
             if float(grad_norm) < tol:
                 break
-            params, it2, final_loss, grad_norm = jax.block_until_ready(
-                invoke(params)
-            )
+            p2, it2, l2, g2 = jax.block_until_ready(invoke(params))
             iters += int(it2)
             used += 1
+            # accept only improvements: a restart from an already-good
+            # point can itself diverge under the emulated-f64 line search
+            # (observed: a fold at -205k restarted to -16.5M); keeping the
+            # best iterate makes the escape monotone, and a non-improving
+            # restart means further ones won't help either
+            if float(l2) < float(final_loss):
+                params, final_loss, grad_norm = p2, l2, g2
+            else:
+                break
         return params, iters, final_loss, grad_norm, used
 
     key = (_avals(params), _avals(consts))

@@ -44,11 +44,35 @@ def _hoist_closure(loss_fn, params):
     return closed_fn, consts, closed
 
 
+def _ambient_key(key_extra: str = "") -> str:
+    """Every ambient switch that shapes a compiled loss without appearing in
+    its argument avals: the banded-ops impl/twist scopes, the Pallas panel /
+    block-unroll env vars, and the caller's ``key_extra`` (basis domain and
+    order, kernel nu2, ... — see GPR1D.loss_args).  Used in BOTH the
+    in-process refit cache key and the disk-cache key so that two
+    same-shaped fits with different loss structure never share a compiled
+    loop (round-4 advisor finding)."""
+    import os as _os
+
+    from asvgp_tpu.banded import ops as _bops
+
+    return "|".join(
+        [
+            key_extra,
+            _bops._current_impl(),
+            f"tw{int(_bops._twist_enabled())}",
+            _os.environ.get("ASVGP_PANEL", ""),
+            _os.environ.get("ASVGP_BLOCK_UNROLL", ""),
+        ]
+    )
+
+
 def fit_lbfgs(loss_fn, params, *, max_iters: int = 500, tol: float = 1e-8,
               memory_size: int = 20, timings: dict | None = None,
               cache: dict | None = None, export_dir: str | None = None,
               info: dict | None = None, data_args=None, key_extra: str = "",
-              restarts: int = 0):
+              restarts: int = 0, max_linesearch_steps: int = 30,
+              curv_rtol: float = 0.9, ls_guess: str = "keep"):
     """Minimize ``loss_fn`` over the ``params`` pytree with L-BFGS + zoom
     line search.  Returns (params, final_loss, num_iters).
 
@@ -120,9 +144,19 @@ def fit_lbfgs(loss_fn, params, *, max_iters: int = 500, tol: float = 1e-8,
     if cache_mode not in ("pjrt", "export"):
         raise ValueError(f"ASVGP_CACHE_MODE must be pjrt or export, got {cache_mode!r}")
 
+    # Zoom line search (strong Wolfe).  Each zoom step is one full
+    # value+grad evaluation of the ELBO — at the north-star shape that is
+    # the entire per-iteration cost, so evals/iter (recorded in ``info``)
+    # is the number to watch.  ``initial_guess_strategy='keep'`` carries
+    # the accepted step size across iterations; ``curv_rtol`` trades
+    # strong-Wolfe strictness for fewer zoom refinement evals.
     opt = optax.lbfgs(
         memory_size=memory_size,
-        linesearch=optax.scale_by_zoom_linesearch(max_linesearch_steps=30),
+        linesearch=optax.scale_by_zoom_linesearch(
+            max_linesearch_steps=max_linesearch_steps,
+            curv_rtol=curv_rtol,
+            initial_guess_strategy=ls_guess,
+        ),
     )
 
     if data_args is not None:
@@ -144,23 +178,30 @@ def fit_lbfgs(loss_fn, params, *, max_iters: int = 500, tol: float = 1e-8,
         value_and_grad = optax.value_and_grad_from_state(loss)
 
         def step(carry):
-            params, state = carry
+            params, state, evals = carry
             value, grad = value_and_grad(params, state=state)
             updates, state = opt.update(
                 grad, state, params, value=value, grad=grad, value_fn=loss
             )
             params = optax.apply_updates(params, updates)
-            return params, state
+            # each zoom line-search step = one value+grad ELBO evaluation;
+            # accumulate so the artifact can report evals/iter (the gap
+            # between the 14.7 ms bench step and the observed ms/iter)
+            ns = otu.tree_get(state, "num_linesearch_steps")
+            evals = evals + ns.astype(evals.dtype)
+            return params, state, evals
 
         def continuing(carry):
-            _, state = carry
+            _, state, _ = carry
             count = otu.tree_get(state, "count")
             grad = otu.tree_get(state, "grad")
             err = otu.tree_norm(grad)
             return (count == 0) | ((count < max_iters) & (err >= tol))
 
         state = opt.init(params)
-        params, state = jax.lax.while_loop(continuing, step, (params, state))
+        params, state, evals = jax.lax.while_loop(
+            continuing, step, (params, state, jnp.zeros((), jnp.int32))
+        )
         # the line search stored loss(params) for the accepted step — reuse
         # it instead of a third in-graph ELBO copy (smaller executable,
         # one less kernel trace)
@@ -169,6 +210,7 @@ def fit_lbfgs(loss_fn, params, *, max_iters: int = 500, tol: float = 1e-8,
             otu.tree_get(state, "count"),
             otu.tree_get(state, "value"),
             otu.tree_norm(otu.tree_get(state, "grad")),
+            evals,
         )
 
     def _avals(tree):
@@ -176,11 +218,23 @@ def fit_lbfgs(loss_fn, params, *, max_iters: int = 500, tol: float = 1e-8,
             (a.shape, str(a.dtype)) for a in jax.tree.leaves(tree)
         )
 
-    def _record_info(grad_norm, restarts_used=0):
+    def _record_info(grad_norm, iters, evals, restarts_used=0,
+                     rejected_iters=0):
         if info is not None:
             info["grad_norm"] = float(grad_norm)
             info["converged"] = bool(float(grad_norm) < tol)
             info["restarts"] = restarts_used
+            info["ls_evals"] = evals
+            if iters:
+                info["evals_per_iter"] = round(evals / iters, 2)
+            if rejected_iters:
+                info["rejected_restart_iters"] = rejected_iters
+            # self-describing stopping rule for protocol artifacts
+            # (round-4 verdict weak #6)
+            info["stopping_rule"] = (
+                f"grad_norm<{tol:g} or {max_iters} iters/run; up to "
+                f"{restarts} accept-only-if-better restarts"
+            )
 
     def _with_restarts(invoke, params):
         """Run the compiled loop, then restart it (fresh L-BFGS memory and
@@ -190,17 +244,19 @@ def fit_lbfgs(loss_fn, params, *, max_iters: int = 500, tol: float = 1e-8,
         decisions occasionally wedge at a high-gradient point that a
         memory-reset fit walks straight out of (SYNTH1M fold-5: CPU
         converges to -206k, the one-shot TPU fit stalled at -229k with
-        |g|~1e5).  Each extra call reuses the same executable."""
-        params, iters, final_loss, grad_norm = jax.block_until_ready(
+        |g|~1e5).  Each extra call reuses the same executable.  ``iters``/
+        ``evals`` count only the runs that produced the accepted params;
+        a rejected restart's iterations are reported separately."""
+        params, iters, final_loss, grad_norm, evals = jax.block_until_ready(
             invoke(params)
         )
-        iters = int(iters)
+        iters, evals = int(iters), int(evals)
         used = 0
+        rejected_iters = 0
         for _ in range(restarts):
             if float(grad_norm) < tol:
                 break
-            p2, it2, l2, g2 = jax.block_until_ready(invoke(params))
-            iters += int(it2)
+            p2, it2, l2, g2, e2 = jax.block_until_ready(invoke(params))
             used += 1
             # accept only improvements: a restart from an already-good
             # point can itself diverge under the emulated-f64 line search
@@ -208,26 +264,31 @@ def fit_lbfgs(loss_fn, params, *, max_iters: int = 500, tol: float = 1e-8,
             # best iterate makes the escape monotone, and a non-improving
             # restart means further ones won't help either
             if float(l2) < float(final_loss):
+                iters += int(it2)
+                evals += int(e2)
                 params, final_loss, grad_norm = p2, l2, g2
             else:
+                rejected_iters += int(it2)
                 break
-        return params, iters, final_loss, grad_norm, used
+        return params, iters, final_loss, grad_norm, evals, used, \
+            rejected_iters
 
-    key = (_avals(params), _avals(consts))
+    solver_tag = (max_iters, tol, memory_size, max_linesearch_steps,
+                  curv_rtol, ls_guess)
+    key = (_avals(params), _avals(consts), _ambient_key(key_extra),
+           solver_tag)
     if cache is not None and cache.get("key") == key:
         compiled = cache["compiled"]
-        params, iters, final_loss, grad_norm, used = _with_restarts(
-            lambda p: compiled(p, consts), params
-        )
-        _record_info(grad_norm, used)
+        params, iters, final_loss, grad_norm, evals, used, rej = \
+            _with_restarts(lambda p: compiled(p, consts), params)
+        _record_info(grad_norm, iters, evals, used, rej)
         return params, final_loss, iters
 
     if timings is None and cache is None and export_dir is None:
         jitted = jax.jit(run)
-        params, iters, final_loss, grad_norm, used = _with_restarts(
-            lambda p: jitted(p, consts), params
-        )
-        _record_info(grad_norm, used)
+        params, iters, final_loss, grad_norm, evals, used, rej = \
+            _with_restarts(lambda p: jitted(p, consts), params)
+        _record_info(grad_norm, iters, evals, used, rej)
     else:
         import time as _time
 
@@ -263,24 +324,16 @@ def fit_lbfgs(loss_fn, params, *, max_iters: int = 500, tol: float = 1e-8,
                 # state folds into the loss structure
                 import hashlib as _hashlib
 
-                from asvgp_tpu.banded import ops as _bops
-
-                ambient = "|".join(
-                    [
-                        key_extra,
-                        _bops._current_impl(),
-                        f"tw{int(_bops._twist_enabled())}",
-                        _os.environ.get("ASVGP_PANEL", ""),
-                        _os.environ.get("ASVGP_BLOCK_UNROLL", ""),
-                    ]
-                )
                 struct_digest = "a" + _ec.package_source_digest() + \
-                    _hashlib.sha256(ambient.encode()).hexdigest()[:12]
+                    _hashlib.sha256(
+                        _ambient_key(key_extra).encode()
+                    ).hexdigest()[:12]
             ckey = "-".join(
                 [
                     struct_digest,
                     _ec.avals_digest((params, consts)),
-                    f"i{max_iters}t{tol}m{memory_size}",
+                    f"i{max_iters}t{tol}m{memory_size}"
+                    f"ls{max_linesearch_steps}c{curv_rtol}g{ls_guess}",
                     platform,
                     _ec.kernel_source_digest(),
                 ]
@@ -340,10 +393,9 @@ def fit_lbfgs(loss_fn, params, *, max_iters: int = 500, tol: float = 1e-8,
             cache["key"] = key
             cache["compiled"] = compiled
         t0 = _time.time()
-        params, iters, final_loss, grad_norm, used = _with_restarts(
-            lambda p: compiled(p, consts), params
-        )
+        params, iters, final_loss, grad_norm, evals, used, rej = \
+            _with_restarts(lambda p: compiled(p, consts), params)
         float(final_loss)
         timings["exec_s"] = round(_time.time() - t0, 2)
-        _record_info(grad_norm, used)
+        _record_info(grad_norm, iters, evals, used, rej)
     return params, final_loss, iters

@@ -216,7 +216,8 @@ def main():
     for seed in range(args.splits):
         rows.append(run_split(args, seed, fit_cache=fit_cache))
         print(f"split {seed}: " + ", ".join(
-            f"{k}={v:.6g}" for k, v in rows[-1].items()), flush=True)
+            f"{k}={v:.6g}" if isinstance(v, (int, float)) else f"{k}={v}"
+            for k, v in rows[-1].items()), flush=True)
     keys = sorted({k for r in rows for k in r})
     table = {}
     print(f"{'metric':14s}  mean ± std over {args.splits} splits")

@@ -119,6 +119,11 @@ def _basis_tag(basis) -> str:
     return f"o{basis.order}m{basis.m}r{basis.a!r}:{basis.b!r}"
 
 
+@partial(jax.jit, static_argnums=0)
+def _stats_jit(basis, x, yy):
+    return compute_stats(basis, x, yy)
+
+
 def window_quadratic_form(band, vals, start):
     """q_i = kus_iᵀ M kus_i where M is symmetric with lower band ``band`` and
     kus_i is supported on rows start_i .. start_i + k.
@@ -257,7 +262,7 @@ class GPR1D:
 
     def __init__(self, data, kernel: Matern, basis: BSplineBasis, *,
                  noise_variance=1.0, mesh=None, axis="data", dtype=None,
-                 backend=None):
+                 backend=None, timings: dict | None = None):
         X, y = data
         X = jnp.asarray(X)
         y = jnp.asarray(y)
@@ -291,7 +296,20 @@ class GPR1D:
         if mesh is not None:
             self.stats = compute_stats_sharded(basis, X, yf, mesh, axis)
         else:
-            self.stats = jax.jit(lambda x, yy: compute_stats(basis, x, yy))(X, yf)
+            # exec-cached stats build: the in-process memo dedupes the
+            # retrace across model constructions (the refit/steady regime
+            # builds a model per split), and with ASVGP_EXEC_CACHE_DIR set
+            # a warm process skips trace+compile entirely (``timings``
+            # records the trace/load split like fit_lbfgs)
+            from asvgp_tpu.utils import exec_cache as _ec
+
+            compiled = _ec.cached_compile(
+                _stats_jit, (basis,), (X, yf),
+                tag=f"stats1d-{_basis_tag(basis)}",
+                device=_ec.params_device((X, yf)),
+                timings=timings,
+            )
+            self.stats = compiled(X, yf)
         # optional compute dtype for the training/prediction hot path; stats
         # are always *accumulated* at input precision, then cast once (the
         # float32 path dispatches to the Pallas TPU kernels)

@@ -19,6 +19,7 @@ factorized/banded:
 from __future__ import annotations
 
 import math
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -129,6 +130,18 @@ def kron_params_to_kernels(params, nu2s):
     ]
 
 
+@partial(jax.jit, static_argnums=0)
+def _kron_stats_jit(bases, x, yy):
+    return compute_kron_stats(list(bases), x, yy)
+
+
+@partial(jax.jit, static_argnums=0)
+def _kron_stats_nd_jit(bases, x, yy):
+    from asvgp_tpu.stats.kron_nd import compute_kron_stats_nd
+
+    return compute_kron_stats_nd(list(bases), x, yy)
+
+
 class GPRKron:
     """D-dimensional ASVGP regression with tensor-product B-spline inducing
     features.  D=2 is the flagship (eNATL60) path; D>=3 routes through the
@@ -137,7 +150,8 @@ class GPRKron:
     stats/kron_nd.py docstring for the scaling envelope)."""
 
     def __init__(self, data, kernels, bases, *, noise_variance=1.0,
-                 mesh=None, axis="data", backend=None):
+                 mesh=None, axis="data", backend=None,
+                 timings: dict | None = None):
         X, y = data
         X = jnp.asarray(X)
         y = jnp.asarray(y)
@@ -168,13 +182,24 @@ class GPRKron:
         self.backend = backend
         self.D = D
         yf = jnp.reshape(y, (-1,))
+        # exec-cached stats build (like GPR1D): the in-process memo dedupes
+        # retraces across model constructions, and with ASVGP_EXEC_CACHE_DIR
+        # set a warm process skips trace+compile of the pair-product build
+        from asvgp_tpu.utils import exec_cache as _ec
+
+        btag = "-".join(
+            f"o{b.order}m{b.m}r{b.a!r}:{b.b!r}" for b in self.bases
+        )
         if D == 2:
             if mesh is not None:
                 self.stats = compute_kron_stats_sharded(self.bases, X, yf, mesh, axis)
             else:
-                self.stats = jax.jit(
-                    lambda xx, yy: compute_kron_stats(self.bases, xx, yy)
-                )(X, yf)
+                compiled = _ec.cached_compile(
+                    _kron_stats_jit, (tuple(self.bases),), (X, yf),
+                    tag=f"statskron-{btag}",
+                    device=_ec.params_device((X, yf)), timings=timings,
+                )
+                self.stats = compiled(X, yf)
         else:
             from asvgp_tpu.stats.kron_nd import (
                 compute_kron_stats_nd,
@@ -186,9 +211,12 @@ class GPRKron:
                     self.bases, X, yf, mesh, axis
                 )
             else:
-                self.stats = jax.jit(
-                    lambda xx, yy: compute_kron_stats_nd(self.bases, xx, yy)
-                )(X, yf)
+                compiled = _ec.cached_compile(
+                    _kron_stats_nd_jit, (tuple(self.bases),), (X, yf),
+                    tag=f"statskronnd-{btag}",
+                    device=_ec.params_device((X, yf)), timings=timings,
+                )
+                self.stats = compiled(X, yf)
 
     # ---- parity helpers ----------------------------------------------------
     @property

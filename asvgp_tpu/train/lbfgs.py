@@ -72,7 +72,8 @@ def fit_lbfgs(loss_fn, params, *, max_iters: int = 500, tol: float = 1e-8,
               cache: dict | None = None, export_dir: str | None = None,
               info: dict | None = None, data_args=None, key_extra: str = "",
               restarts: int = 0, max_linesearch_steps: int = 30,
-              curv_rtol: float = 0.9, ls_guess: str = "keep"):
+              curv_rtol: float = 0.9, ls_guess: str = "keep",
+              engine: str | None = None):
     """Minimize ``loss_fn`` over the ``params`` pytree with L-BFGS + zoom
     line search.  Returns (params, final_loss, num_iters).
 
@@ -144,6 +145,16 @@ def fit_lbfgs(loss_fn, params, *, max_iters: int = 500, tol: float = 1e-8,
     if cache_mode not in ("pjrt", "export"):
         raise ValueError(f"ASVGP_CACHE_MODE must be pjrt or export, got {cache_mode!r}")
 
+    # ``engine``: "fused" (default) = the single-eval-site rewrite of
+    # L-BFGS+zoom in fused_lbfgs.py — same algorithm, one copy of the
+    # ELBO+grad program in the executable (~3x smaller serialized blob, the
+    # dominant warm-process cost through this image's TPU relay).  "optax"
+    # = the optax.lbfgs formulation, kept as the reference/A-B control.
+    if engine is None:
+        engine = _os.environ.get("ASVGP_LBFGS_ENGINE", "fused")
+    if engine not in ("fused", "optax"):
+        raise ValueError(f"engine must be fused or optax, got {engine!r}")
+
     # Zoom line search (strong Wolfe).  Each zoom step is one full
     # value+grad evaluation of the ELBO — at the north-star shape that is
     # the entire per-iteration cost, so evals/iter (recorded in ``info``)
@@ -171,7 +182,7 @@ def fit_lbfgs(loss_fn, params, *, max_iters: int = 500, tol: float = 1e-8,
             "would silently reuse the first fit's data"
         )
 
-    def run(params, consts):
+    def run_optax(params, consts):
         def loss(p):
             return closed_fn(p, *consts)
 
@@ -212,6 +223,18 @@ def fit_lbfgs(loss_fn, params, *, max_iters: int = 500, tol: float = 1e-8,
             otu.tree_norm(otu.tree_get(state, "grad")),
             evals,
         )
+
+    if engine == "fused":
+        from asvgp_tpu.train.fused_lbfgs import make_fused_run
+
+        run = make_fused_run(
+            closed_fn, max_iters=max_iters, tol=tol,
+            memory_size=memory_size,
+            max_linesearch_steps=max_linesearch_steps,
+            curv_rtol=curv_rtol, ls_guess=ls_guess,
+        )
+    else:
+        run = run_optax
 
     def _avals(tree):
         return tuple(
@@ -274,7 +297,7 @@ def fit_lbfgs(loss_fn, params, *, max_iters: int = 500, tol: float = 1e-8,
             rejected_iters
 
     solver_tag = (max_iters, tol, memory_size, max_linesearch_steps,
-                  curv_rtol, ls_guess)
+                  curv_rtol, ls_guess, engine)
     key = (_avals(params), _avals(consts), _ambient_key(key_extra),
            solver_tag)
     if cache is not None and cache.get("key") == key:
@@ -333,7 +356,8 @@ def fit_lbfgs(loss_fn, params, *, max_iters: int = 500, tol: float = 1e-8,
                     struct_digest,
                     _ec.avals_digest((params, consts)),
                     f"i{max_iters}t{tol}m{memory_size}"
-                    f"ls{max_linesearch_steps}c{curv_rtol}g{ls_guess}",
+                    f"ls{max_linesearch_steps}c{curv_rtol}g{ls_guess}"
+                    f"e{engine}",
                     platform,
                     _ec.kernel_source_digest(),
                 ]

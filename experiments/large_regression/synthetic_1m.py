@@ -30,6 +30,9 @@ jax.config.update("jax_enable_x64", True)
 os.makedirs("/tmp/asvgp_jax_cache", exist_ok=True)
 jax.config.update("jax_compilation_cache_dir", "/tmp/asvgp_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+# strip per-instruction source paths from lowered HLO (pure metadata,
+# ~10% of serialized executables shipped through the relay)
+jax.config.update("jax_hlo_source_file_canonicalization_regex", ".*")
 
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402

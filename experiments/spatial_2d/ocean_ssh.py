@@ -33,6 +33,9 @@ try:
     os.makedirs("/tmp/asvgp_jax_cache", exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", "/tmp/asvgp_jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    # per-instruction source paths are ~10% of the serialized executable,
+    # which warm processes ship through the relay — strip them
+    jax.config.update("jax_hlo_source_file_canonicalization_regex", ".*")
 except Exception:
     pass
 
@@ -69,6 +72,13 @@ def main():
     ap.add_argument("--data", type=str, default=None)
     ap.add_argument("--out", type=str, default=None,
                     help="write a JSON metrics artifact here")
+    # the 2-D flagship's comparison leg (VERDICT r4 #5): time a handful of
+    # ELBO value+grad steps of the repo's own CPU-f64 block path at the
+    # same shape — the stand-in for the reference's dense m²xm² f64
+    # Cholesky per L-BFGS iteration (reference asvgp/gpr.py:292-293,
+    # utils.py:45-51), which cannot run in this image
+    ap.add_argument("--cpu-baseline-steps", type=int, default=0,
+                    help="time K CPU-f64 value+grad steps at the same shape")
     args = ap.parse_args()
 
     if args.data:
@@ -94,11 +104,14 @@ def main():
     print(f"relay ready in {relay_wait_s:.1f}s", flush=True)
 
     clock = WallClock()
+    stats_timings = {}
     with clock.section("precompute"):
-        model = GPRKron((Xtr, ytr), kernels, bases, noise_variance=0.1, mesh=mesh)
+        model = GPRKron((Xtr, ytr), kernels, bases, noise_variance=0.1,
+                        mesh=mesh, timings=stats_timings)
         jax.block_until_ready(model.stats.kuf_y)
     print(f"precompute: {clock.times['precompute']:.1f}s "
-          f"(N={len(ytr)}, features={args.m ** 2})")
+          f"(N={len(ytr)}, features={args.m ** 2}, "
+          f"stats phases {stats_timings})")
 
     opt_timings = {}
     fit_info = {}
@@ -144,6 +157,47 @@ def main():
     print(f"MSE = {float(mse(yte, mean)):.6f}")
     print(f"NLL = {float(nlpd(ld)):.6f}")
     print("timings:", {k: round(v, 2) for k, v in clock.summary().items()})
+
+    cpu_baseline = None
+    if args.cpu_baseline_steps:
+        # the repo's own CPU-f64 block path at the SAME shape: per-step
+        # value+grad cost of the stand-in baseline (the reference's path
+        # at this shape is a dense 10^4 x 10^4 f64 Cholesky + autodiff per
+        # iteration — strictly slower than this banded-block stand-in)
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            t0 = _time.time()
+            model_c = GPRKron((Xtr, ytr), kernels, bases, noise_variance=0.1)
+            jax.block_until_ready(model_c.stats.kuf_y)
+            t_pre_c = _time.time() - t0
+            loss_c, dargs_c, _ = model_c.loss_args()
+            vg = jax.jit(jax.value_and_grad(loss_c))
+            p0 = model_c.init_params()
+            t0 = _time.time()
+            jax.block_until_ready(vg(p0, *dargs_c))  # trace+compile+exec
+            t_first = _time.time() - t0
+            t0 = _time.time()
+            for _ in range(args.cpu_baseline_steps):
+                jax.block_until_ready(vg(p0, *dargs_c))
+            step_s = (_time.time() - t0) / args.cpu_baseline_steps
+        tpu_step_s = (
+            opt_timings.get("exec_s", 0.0) / max(int(iters), 1)
+        )
+        cpu_baseline = {
+            "device": str(cpu),
+            "m": args.m,
+            "t_precompute_s": round(t_pre_c, 2),
+            "first_call_s": round(t_first, 2),
+            "step_value_grad_s": round(step_s, 3),
+            "steps_timed": args.cpu_baseline_steps,
+            "cpu_loadavg": round(os.getloadavg()[0], 2),
+            # per-L-BFGS-iteration comparison (TPU exec includes its
+            # line-search evals; see opt_info.evals_per_iter)
+            "tpu_exec_per_iter_s": round(tpu_step_s, 3),
+            "vs_baseline_step": round(step_s / tpu_step_s, 1)
+            if tpu_step_s else None,
+        }
+        print(f"cpu-f64 baseline: {cpu_baseline}")
     if args.out:
         import json
 
@@ -159,6 +213,7 @@ def main():
                     "iters": int(iters),
                     "grad_norm": fit_info.get("grad_norm"),
                     "converged": fit_info.get("converged"),
+                    "opt_info": fit_info,
                     "relay_wait_s": round(relay_wait_s, 2),
                     "mse": float(mse(yte, mean)),
                     "nll": float(nlpd(ld)),
@@ -166,7 +221,9 @@ def main():
                         k: round(v, 2) for k, v in clock.summary().items()
                     },
                     "opt_phases_s": opt_timings,
+                    "stats_phases_s": stats_timings,
                     "pred_phases_s": pred_phases,
+                    "cpu_f64_baseline": cpu_baseline,
                 },
                 f,
                 indent=1,

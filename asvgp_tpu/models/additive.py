@@ -37,6 +37,67 @@ from asvgp_tpu.stats.additive import (
 _LOG2PI = math.log(2.0 * math.pi)
 
 
+def _dense_p(bases, stats, kuu_bands, sigma2):
+    P = stats.kufkfu / sigma2
+    for d, kb in enumerate(kuu_bands):
+        kd = banded.band_to_dense(
+            banded.symmetrise_lower_band(kb), bases[d].order, bases[d].order
+        )
+        o = sum(b.m for b in bases[:d])
+        P = P.at[o:o + bases[d].m, o:o + bases[d].m].add(kd)
+    return P
+
+
+def additive_collapsed_elbo(bases, nu2s, params, stats):
+    """Collapsed ELBO of the additive model from its sufficient statistics
+    (stats-parameterized so the data-parallel step in parallel/dp.py can
+    psum sharded statistics before calling it).  Mirrors the reference
+    GPR_additive objective (asvgp/gpr.py:139-236): per-dim banded
+    logdet/trace terms, dense only for the genuinely dense coupling P."""
+    kernels = [
+        Matern(
+            variance=positive(p["raw_variance"]),
+            lengthscales=positive(p["raw_lengthscales"]),
+            nu2=nu2,
+        )
+        for p, nu2 in zip(params["kernels"], nu2s)
+    ]
+    lik = Gaussian(variance=positive(params["likelihood"]["raw_variance"]))
+    sigma2 = lik.variance
+    kuu_bands = [make_kuu(k, b) for k, b in zip(kernels, bases)]
+    l_bands = [banded.cholesky_band(kb) for kb in kuu_bands]
+    log_det_kuu = sum(banded.log_det_from_cholesky(lb) for lb in l_bands)
+
+    # trace(Kuu⁻¹ KufKfu): Kuu is block-diag ⇒ only the banded diagonal
+    # blocks of KufKfu enter, via per-dim Takahashi bands
+    trace_term = 0.0
+    for d, lb in enumerate(l_bands):
+        s_band = banded.takahashi_inverse_band(lb)
+        o = sum(b.m for b in bases[:d])
+        blk = jax.lax.dynamic_slice(
+            stats.kufkfu, (o, o), (bases[d].m, bases[d].m)
+        )
+        blk_band = banded.dense_to_lower_band(blk, bases[d].order)
+        trace_term = trace_term + banded.band_frobenius(s_band, blk_band)
+
+    P = _dense_p(bases, stats, kuu_bands, sigma2)
+    # dense coupling factorization: DS on accelerators (banded/dsx.py),
+    # plain f64 elsewhere
+    L = dsx.cholesky_auto(P)
+    log_det_p = 2.0 * jnp.sum(jnp.log(jnp.diagonal(L)))
+    c = dsx.solve_triangular_auto(L, stats.kuf_y) / sigma2
+    total_variance = sum(k.variance for k in kernels)
+
+    elbo = -0.5 * stats.n * (_LOG2PI + jnp.log(sigma2))
+    elbo -= 0.5 * log_det_p
+    elbo += 0.5 * log_det_kuu
+    elbo -= 0.5 * stats.yty / sigma2
+    elbo += 0.5 * jnp.sum(jnp.square(c))
+    elbo -= 0.5 * stats.n * total_variance / sigma2
+    elbo += 0.5 * trace_term / sigma2
+    return elbo
+
+
 class GPRAdditive:
     def __init__(self, data, kernels, bases, *, noise_variance=1.0,
                  mesh=None, axis="data", backend=None):
@@ -103,57 +164,20 @@ class GPRAdditive:
         return kernels, lik
 
     def _dense_p(self, kuu_bands, sigma2):
-        M = self._offsets[-1]
-        P = self.stats.kufkfu / sigma2
-        for d, kb in enumerate(kuu_bands):
-            kd = banded.band_to_dense(
-                banded.symmetrise_lower_band(kb), self.bases[d].order, self.bases[d].order
-            )
-            o = self._offsets[d]
-            P = P.at[o:o + self.bases[d].m, o:o + self.bases[d].m].add(kd)
-        return P
+        return _dense_p(self.bases, self.stats, kuu_bands, sigma2)
 
     def elbo(self, params):
         from asvgp_tpu.banded import ops as _bops
 
         with _bops.impl_scope(self.backend):
-            return self._elbo_inner(params)
+            return additive_collapsed_elbo(
+                self.bases, self.nu2s, params, self.stats
+            )
 
     def _elbo_inner(self, params):
-        kernels, lik = self._build(params)
-        sigma2 = lik.variance
-        kuu_bands = [make_kuu(k, b) for k, b in zip(kernels, self.bases)]
-        l_bands = [banded.cholesky_band(kb) for kb in kuu_bands]
-        log_det_kuu = sum(banded.log_det_from_cholesky(lb) for lb in l_bands)
-
-        # trace(Kuu⁻¹ KufKfu): Kuu is block-diag ⇒ only the banded diagonal
-        # blocks of KufKfu enter, via per-dim Takahashi bands
-        trace_term = 0.0
-        for d, lb in enumerate(l_bands):
-            s_band = banded.takahashi_inverse_band(lb)
-            o = self._offsets[d]
-            blk = jax.lax.dynamic_slice(
-                self.stats.kufkfu, (o, o), (self.bases[d].m, self.bases[d].m)
-            )
-            blk_band = banded.dense_to_lower_band(blk, self.bases[d].order)
-            trace_term = trace_term + banded.band_frobenius(s_band, blk_band)
-
-        P = self._dense_p(kuu_bands, sigma2)
-        # dense coupling factorization: DS on accelerators (banded/dsx.py),
-        # plain f64 elsewhere
-        L = dsx.cholesky_auto(P)
-        log_det_p = 2.0 * jnp.sum(jnp.log(jnp.diagonal(L)))
-        c = dsx.solve_triangular_auto(L, self.stats.kuf_y) / sigma2
-        total_variance = sum(k.variance for k in kernels)
-
-        elbo = -0.5 * self.stats.n * (_LOG2PI + jnp.log(sigma2))
-        elbo -= 0.5 * log_det_p
-        elbo += 0.5 * log_det_kuu
-        elbo -= 0.5 * self.stats.yty / sigma2
-        elbo += 0.5 * jnp.sum(jnp.square(c))
-        elbo -= 0.5 * self.stats.n * total_variance / sigma2
-        elbo += 0.5 * trace_term / sigma2
-        return elbo
+        return additive_collapsed_elbo(
+            self.bases, self.nu2s, params, self.stats
+        )
 
     def maximum_log_likelihood_objective(self, params):
         return self.elbo(params)

@@ -141,6 +141,54 @@ def make_dp_train_step_kron(bases, nu2s, mesh, *, axis: str = "data",
     return _wrap_in_mesh(step, mesh, backend), opt
 
 
+def make_dp_train_step_additive(bases, nu2s, mesh, *, axis: str = "data",
+                                optimizer=None, num_data_total=None,
+                                backend=None):
+    """Data-parallel training step for the additive (sum-of-1D-GPs) family.
+
+    Identical DP strategy to the other factories: the additive sufficient
+    statistics (stacked Kuf·y, dense coupling KufKfuᵀ, yᵀy) are sums over
+    data points — assemble per shard, ``psum`` over ICI, then run the
+    stats-parameterized collapsed ELBO
+    (models/additive.py additive_collapsed_elbo) replicated.
+    Reference counterpart: asvgp/gpr.py:139-236 (single-process only).
+    """
+    import optax as _optax
+
+    from asvgp_tpu.models.additive import additive_collapsed_elbo
+    from asvgp_tpu.stats.additive import AdditiveStats, _additive_stats_local
+
+    opt = optimizer if optimizer is not None else _optax.adam(1e-2)
+
+    def stats_shardmap(xs, ys):
+        s = _additive_stats_local(bases, xs, ys)
+        return jax.tree.map(partial(jax.lax.psum, axis_name=axis), s)
+
+    stats_fn = jax.shard_map(
+        stats_shardmap, mesh=mesh, in_specs=(P(axis), P(axis)), out_specs=P()
+    )
+
+    @jax.jit
+    def step(params, opt_state, x, y):
+        stats = stats_fn(x, y)
+        if num_data_total is not None:
+            scale = jnp.asarray(num_data_total, y.dtype) / stats.n
+            stats = AdditiveStats(
+                kuf_y=stats.kuf_y * scale,
+                kufkfu=stats.kufkfu * scale,
+                yty=stats.yty * scale,
+                n=stats.n * scale,
+            )
+        loss, grads = jax.value_and_grad(
+            lambda p: -additive_collapsed_elbo(bases, nu2s, p, stats)
+        )(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return _wrap_in_mesh(step, mesh, backend), opt
+
+
 def _wrap_in_mesh(step, mesh, backend):
     # explicit backend threading (banded/ops.py impl_scope) replaces the
     # old jax.default_device workaround: derive the backend from the mesh

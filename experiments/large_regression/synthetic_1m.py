@@ -99,6 +99,9 @@ def run_split(args, seed, fit_cache=None):
         "grad_norm": fit_info.get("grad_norm"),
         "converged": fit_info.get("converged"),
         "restarts": fit_info.get("restarts"),
+        "ls_evals": fit_info.get("ls_evals"),
+        "evals_per_iter": fit_info.get("evals_per_iter"),
+        "stopping_rule": fit_info.get("stopping_rule"),
         "noise_variance": float(positive(params["likelihood"]["raw_variance"])),
     }
 

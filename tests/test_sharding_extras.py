@@ -97,3 +97,46 @@ def test_kron_dp_step_full_batch_matches_elbo():
     p_ref = optax.apply_updates(params, updates)
     for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p_ref)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-12)
+
+
+def test_additive_dp_step_full_batch_matches_elbo():
+    """make_dp_train_step_additive on the FULL dataset must report exactly
+    the replicated -elbo at the pre-update params, and its update must
+    match a plain value_and_grad + optax step without any mesh (VERDICT r4
+    stretch #8: additive-family DP parity)."""
+    import optax
+
+    from asvgp_tpu.basis import B3Spline
+    from asvgp_tpu.models import Matern32
+    from asvgp_tpu.models.additive import GPRAdditive, additive_collapsed_elbo
+    from asvgp_tpu.parallel import make_dp_train_step_additive, shard_data
+
+    rng = np.random.RandomState(5)
+    n = 256
+    X = rng.uniform(0.05, 0.95, (n, 2))
+    y = np.sin(5 * X[:, 0]) + np.cos(4 * X[:, 1]) + 0.1 * rng.randn(n)
+    bases = [B3Spline(0.0, 1.0, 10), B3Spline(0.0, 1.0, 14)]
+    mesh = jax.make_mesh((8,), ("data",))
+
+    model = GPRAdditive((X, y), [Matern32()] * 2, bases, noise_variance=0.1,
+                        backend="scan")
+    params = model.init_params()
+
+    step, opt = make_dp_train_step_additive(
+        bases, [3, 3], mesh, optimizer=optax.adam(1e-2), num_data_total=n,
+    )
+    opt_state = opt.init(params)
+    xs, ys = shard_data(jnp.asarray(X), jnp.asarray(y), mesh)
+    p1, opt_state, loss = step(params, opt_state, xs, ys)
+
+    np.testing.assert_allclose(
+        float(loss), -float(model.elbo(params)), rtol=1e-12
+    )
+
+    loss_ref, grads = jax.value_and_grad(
+        lambda p: -additive_collapsed_elbo(bases, [3, 3], p, model.stats)
+    )(params)
+    updates, _ = opt.update(grads, opt.init(params), params)
+    p_ref = optax.apply_updates(params, updates)
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-12)

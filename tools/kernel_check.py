@@ -205,11 +205,91 @@ def block_checks(results):
               flush=True)
 
 
+def kron_stats_checks(results):
+    """Round-4 batched pair-product Kronecker stats build (stats/kron.py)
+    vs the CPU f64 oracle at an eNATL-ish shape (VERDICT r4 weak #5).
+    The build is sorted-cumsum + gather assembly (no recursions), so TPU
+    f64 emulation should hold ~1e-13."""
+    from asvgp_tpu.basis import BSplineBasis
+    from asvgp_tpu.stats.kron import compute_kron_stats
+
+    cpu = jax.devices("cpu")[0]
+    tpu = jax.devices()[0]
+    n, m = 200_000, 60
+    rng = np.random.RandomState(7)
+    X = jnp.asarray(rng.uniform(0.02, 0.98, (n, 2)))
+    y = jnp.asarray(rng.randn(n))
+    bases = [BSplineBasis(0.0, 1.0, m, 4)] * 2
+
+    def run(device):
+        with jax.default_device(device):
+            s = jax.jit(lambda xx, yy: compute_kron_stats(bases, xx, yy))(
+                X, y)
+            return jax.tree.map(np.asarray, jax.block_until_ready(s))
+
+    print("CPU f64 kron-stats reference...", flush=True)
+    ref = run(cpu)
+    print("TPU kron-stats build...", flush=True)
+    got = run(tpu)
+    for name in ("kuf_y", "t_band", "yty"):
+        results[f"kron_stats/{name}"] = _rel(
+            getattr(got, name), getattr(ref, name))
+        print(f"  {name:12s} rel err {results[f'kron_stats/{name}']:.3e}",
+              flush=True)
+
+
+def svgp_checks(results):
+    """Round-4 prior-anchored banded-precision SVGP path (models/svgp.py):
+    ELBO value+grad and predict mean/var vs the CPU f64 oracle
+    (VERDICT r4 weak #5)."""
+    from asvgp_tpu.basis import B3Spline
+    from asvgp_tpu.models import Matern32
+    from asvgp_tpu.models.svgp import SVGP1D
+
+    cpu = jax.devices("cpu")[0]
+    tpu = jax.devices()[0]
+    n, m = 5000, 200
+    rng = np.random.RandomState(11)
+    X = jnp.asarray(np.sort(rng.uniform(0.01, 0.99, n)))
+    y = jnp.asarray(np.sin(40 * np.asarray(X)) + 0.3 * rng.randn(n))
+    model = SVGP1D(Matern32(variance=1.0, lengthscales=0.05),
+                   B3Spline(0.0, 1.0, m), noise_variance=0.1)
+    params0 = model.init_params()
+    # move off the C=0 stationary point so the banded-precision terms are
+    # genuinely exercised
+    params0 = jax.tree.map(
+        lambda a: a + 0.01 * jnp.asarray(
+            np.random.RandomState(13).randn(*a.shape)), params0)
+    xq = jnp.asarray(rng.uniform(0.05, 0.95, 512))
+
+    def run(device):
+        with jax.default_device(device):
+            val, grad = jax.jit(
+                jax.value_and_grad(lambda p: model.training_loss(p, X, y))
+            )(params0)
+            mean, var = jax.jit(model.predict_f)(params0, xq)
+            out = dict(val=val, mean=mean, var=var,
+                       grad=jnp.concatenate([
+                           jnp.ravel(g) for g in jax.tree.leaves(grad)]))
+            return jax.tree.map(np.asarray, jax.block_until_ready(out))
+
+    print("CPU f64 SVGP reference...", flush=True)
+    ref = run(cpu)
+    print("TPU SVGP banded-precision path...", flush=True)
+    got = run(tpu)
+    for name in ref:
+        results[f"svgp/{name}"] = _rel(got[name], ref[name])
+        print(f"  {name:12s} rel err {results[f'svgp/{name}']:.3e}",
+              flush=True)
+
+
 def main():
     results = {"m": M, "k": K, "device": str(jax.devices()[0])}
     banded_checks(results)
     matern_core_checks(results)
     block_checks(results)
+    kron_stats_checks(results)
+    svgp_checks(results)
     worst = max(
         v for kk, v in results.items() if isinstance(v, float)
     )

@@ -137,6 +137,9 @@ def fit_lbfgs(loss_fn, params, *, max_iters: int = 500, tol: float = 1e-8,
     ``ASVGP_NO_EXPORT=1`` disables disk caching entirely.
     """
     import os as _os
+    import time as _time0
+
+    _t_enter = _time0.time()
 
     if export_dir is not None and _os.environ.get("ASVGP_NO_EXPORT") == "1":
         # kill-switch: force the direct, uncached jit path
@@ -317,6 +320,10 @@ def fit_lbfgs(loss_fn, params, *, max_iters: int = 500, tol: float = 1e-8,
 
         timings = {} if timings is None else timings
         t0 = _time.time()
+        # everything between fit entry and here (engine setup, closure
+        # hoist on the non-data_args path, key computation) — the warm
+        # phase audit must sum to the caller's wall time
+        timings["setup_s"] = round(t0 - _t_enter, 2)
         compiled = None
         lowered = None
         blob_path = None

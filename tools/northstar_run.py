@@ -84,8 +84,10 @@ def run_leg(device, train, test, steady=False):
         opt_timings = {}
         opt_info = {}
         loss_fn, dargs, ktag = model.loss_args()
+        p0 = model.init_params()
+        opt_timings["args_s"] = round(time.time() - t0, 2)
         params, loss, iters = fit_lbfgs(
-            loss_fn, model.init_params(),
+            loss_fn, p0,
             max_iters=MAX_ITERS, timings=opt_timings, cache=fit_cache,
             export_dir="/tmp/asvgp_export_cache",
             data_args=dargs, key_extra=ktag, info=opt_info,

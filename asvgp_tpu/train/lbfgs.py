@@ -158,12 +158,22 @@ def fit_lbfgs(loss_fn, params, *, max_iters: int = 500, tol: float = 1e-8,
     if engine not in ("fused", "optax"):
         raise ValueError(f"engine must be fused or optax, got {engine!r}")
 
-    # Zoom line search (strong Wolfe).  Each zoom step is one full
-    # value+grad evaluation of the ELBO — at the north-star shape that is
-    # the entire per-iteration cost, so evals/iter (recorded in ``info``)
-    # is the number to watch.  ``initial_guess_strategy='keep'`` carries
-    # the accepted step size across iterations; ``curv_rtol`` trades
-    # strong-Wolfe strictness for fewer zoom refinement evals.
+    # Zoom line search.  Each zoom step is one full value+grad evaluation
+    # of the ELBO — at the north-star shape that is the entire
+    # per-iteration cost, so evals/iter (recorded in ``info``) is the
+    # number to watch.  ``initial_guess_strategy='keep'`` carries the
+    # accepted step size across iterations.  ``curv_rtol`` trades Wolfe
+    # strictness for fewer refinement evals.  The default 0.9 is the
+    # classical strong-Wolfe setting — best on small/well-conditioned
+    # problems, where evals/iter is already ~1.1 and a looser test only
+    # degrades direction quality (Snelson at curv>=2 stalls at -150.88
+    # without restarts).  Values >= 1+|slope cap| disable the curvature
+    # test entirely, leaving Armijo + the Hager-Zhang approximate-decrease
+    # condition; at the ill-conditioned north-star shape (1M/10k,
+    # kappa(Kuu)~1e12) that measured 3.58 -> 1.2 evals/iter with a BETTER
+    # final ELBO/grad-norm and NLPD still matched to the CPU-f64 oracle at
+    # 3e-10 (LS_TUNE.json) — the large-scale protocol scripts pass
+    # curv_rtol=10.0 on BOTH comparison legs for this reason.
     opt = optax.lbfgs(
         memory_size=memory_size,
         linesearch=optax.scale_by_zoom_linesearch(
@@ -259,7 +269,8 @@ def fit_lbfgs(loss_fn, params, *, max_iters: int = 500, tol: float = 1e-8,
             # (round-4 verdict weak #6)
             info["stopping_rule"] = (
                 f"grad_norm<{tol:g} or {max_iters} iters/run; up to "
-                f"{restarts} accept-only-if-better restarts"
+                f"{restarts} accept-only-if-better restarts; zoom ls "
+                f"(c1=1e-4, curv_rtol={curv_rtol:g}, guess={ls_guess})"
             )
 
     def _with_restarts(invoke, params):

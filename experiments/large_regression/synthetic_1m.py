@@ -75,6 +75,10 @@ def run_split(args, seed, fit_cache=None):
         max_iters=args.iters, cache=fit_cache, info=fit_info,
         export_dir=os.environ["ASVGP_EXEC_CACHE_DIR"],
         data_args=dargs, key_extra=ktag, restarts=args.restarts,
+        # large-scale protocol line search (LS_TUNE.json): Armijo + HZ
+        # approximate decrease, ~1.2 evals/iter; wedges are covered by the
+        # accept-only-if-better restarts
+        curv_rtol=10.0,
     )
     jax.block_until_ready(loss)
     t_opt = time.time() - t0

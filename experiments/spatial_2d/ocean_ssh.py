@@ -122,6 +122,9 @@ def main():
             max_iters=args.iters, timings=opt_timings, info=fit_info,
             export_dir=os.environ["ASVGP_EXEC_CACHE_DIR"],
             data_args=dargs, key_extra=ktag,
+            # large-scale protocol line search (LS_TUNE.json): ~1.2
+            # evals/iter with matched NLPD at the north-star shape
+            curv_rtol=10.0,
         )
         jax.block_until_ready(loss)
     print(f"optimize: {clock.times['optimize']:.1f}s "

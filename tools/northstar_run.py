@@ -86,11 +86,15 @@ def run_leg(device, train, test, steady=False):
         loss_fn, dargs, ktag = model.loss_args()
         p0 = model.init_params()
         opt_timings["args_s"] = round(time.time() - t0, 2)
+        # curv_rtol=10: Armijo + Hager-Zhang approximate decrease only —
+        # 3.58 -> 1.2 evals/iter at this shape with matched NLPD
+        # (LS_TUNE.json); applied to BOTH comparison legs
         params, loss, iters = fit_lbfgs(
             loss_fn, p0,
             max_iters=MAX_ITERS, timings=opt_timings, cache=fit_cache,
             export_dir="/tmp/asvgp_export_cache",
             data_args=dargs, key_extra=ktag, info=opt_info,
+            curv_rtol=10.0,
         )
         jax.block_until_ready(loss)
         t_opt = time.time() - t0
@@ -171,6 +175,7 @@ def run_leg(device, train, test, steady=False):
                 loss2_fn, model2.init_params(),
                 max_iters=MAX_ITERS, cache=fit_cache,
                 data_args=dargs2, key_extra=ktag2, info=info2,
+                curv_rtol=10.0,
             )
             float(loss2)
             t_fit2 = time.time() - t0
@@ -199,7 +204,39 @@ def main():
         os.path.join(os.path.dirname(__file__), "..", "NORTHSTAR.json")
     )
     warm = "--warm" in _sys.argv
+    cpu_only = "--cpu-only" in _sys.argv
     train, test = make_data()
+
+    if cpu_only:
+        # re-run ONLY the CPU-f64 leg (e.g. after the original leg was
+        # captured on a loaded host) and merge into the artifact
+        with open(path) as f:
+            out = json.load(f)
+        cpu = jax.devices("cpu")[0]
+        print("CPU f64 leg... (loadavg %.2f)" % os.getloadavg()[0],
+              flush=True)
+        res_cpu = run_leg(cpu, train, test, steady=True)
+        print(json.dumps(res_cpu), flush=True)
+        out["cpu_f64"] = res_cpu
+        out["cpu_loadavg"] = round(os.getloadavg()[0], 2)
+        out["time_to_nlpd_cpu_s"] = round(
+            res_cpu["t_precompute_s"] + res_cpu["t_opt_s"], 2
+        )
+        st_cpu = res_cpu.get("steady")
+        if st_cpu:
+            out["time_to_nlpd_cpu_steady_s"] = round(
+                st_cpu["t_precompute_s"] + st_cpu["t_fit_s"], 2
+            )
+        for leg in ("tpu", "tpu_warm"):
+            if leg in out:
+                out[f"nlpd_abs_diff{'_warm' if leg == 'tpu_warm' else ''}"] \
+                    = abs(out[leg]["nlpd"] - res_cpu["nlpd"])
+        out["nlpd_matched_1e6"] = bool(out["nlpd_abs_diff"] < 1e-6)
+        with open(path, "w") as f:
+            json.dump(out, f, indent=1)
+        print(json.dumps(out))
+        return
+
     tpu = jax.devices()[0]
 
     if warm:

@@ -57,12 +57,17 @@ def params_to_likelihood(params) -> Gaussian:
 
 
 def default_params(kernel: Matern, noise_variance=1.0):
+    # host-side math (parameters.positive_inverse_host): the chain of tiny
+    # eager softplus-inverse ops costs ~2.8 s per fit through the TPU relay
+    # (NORTHSTAR r5 args_s); callers device_put the pytree in one batch
+    from asvgp_tpu.models.parameters import positive_inverse_host as inv
+
     return {
         "kernel": {
-            "raw_variance": positive_inverse(kernel.variance),
-            "raw_lengthscales": positive_inverse(kernel.lengthscales),
+            "raw_variance": inv(kernel.variance),
+            "raw_lengthscales": inv(kernel.lengthscales),
         },
-        "likelihood": {"raw_variance": positive_inverse(noise_variance)},
+        "likelihood": {"raw_variance": inv(noise_variance)},
     }
 
 
@@ -322,7 +327,12 @@ class GPR1D:
         params = default_params(self.kernel_init, self.noise_variance_init)
         if self.dtype is not None:
             params = jax.tree.map(lambda a: a.astype(self.dtype), params)
-        return params
+        # one batched transfer onto the model's device (host-side values —
+        # see default_params); keeps the committed-device platform correct
+        # for fit_lbfgs's executable-cache keys
+        from asvgp_tpu.utils import exec_cache as _ec
+
+        return jax.device_put(params, _ec.params_device(self.stats))
 
     def _build(self, params):
         return params_to_kernel(params, self.nu2), params_to_likelihood(params)

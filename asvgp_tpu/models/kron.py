@@ -231,16 +231,22 @@ class GPRKron:
         return bw
 
     def init_params(self):
-        return {
+        # host-side softplus-inverse + one batched device_put (eager relay
+        # ops cost ~27 ms each on this image; see models/parameters.py)
+        from asvgp_tpu.models.parameters import positive_inverse_host as inv
+        from asvgp_tpu.utils import exec_cache as _ec
+
+        params = {
             "kernels": [
                 {
-                    "raw_variance": positive_inverse(k.variance),
-                    "raw_lengthscales": positive_inverse(k.lengthscales),
+                    "raw_variance": inv(k.variance),
+                    "raw_lengthscales": inv(k.lengthscales),
                 }
                 for k in self.kernels_init
             ],
-            "likelihood": {"raw_variance": positive_inverse(self.noise_variance_init)},
+            "likelihood": {"raw_variance": inv(self.noise_variance_init)},
         }
+        return jax.device_put(params, _ec.params_device(self.stats))
 
     def _build(self, params):
         kernels = kron_params_to_kernels(params, self.nu2s)

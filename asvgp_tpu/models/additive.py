@@ -101,15 +101,19 @@ def additive_collapsed_elbo(bases, nu2s, params, stats):
 class GPRAdditive:
     def __init__(self, data, kernels, bases, *, noise_variance=1.0,
                  mesh=None, axis="data", backend=None):
-        X, y = data
-        X = jnp.asarray(X)
+        import numpy as _np
+
+        X_in, y = data
+        X = jnp.asarray(X_in)
         y = jnp.asarray(y)
         if X.ndim != 2 or X.shape[1] != len(bases) or len(kernels) != len(bases):
             raise ValueError(
                 "need X of shape (n, D) with one kernel and one basis per dim"
             )
+        # host-side domain validation (see gpr1d.py)
+        xv = X_in if isinstance(X_in, _np.ndarray) else _np.asarray(X)
         for d, basis in enumerate(bases):
-            lo, hi = float(jnp.min(X[:, d])), float(jnp.max(X[:, d]))
+            lo, hi = float(xv[:, d].min()), float(xv[:, d].max())
             if not (lo > basis.a and hi < basis.b):
                 raise ValueError(
                     f"dim {d}: inputs must lie strictly inside "

@@ -268,8 +268,10 @@ class GPR1D:
     def __init__(self, data, kernel: Matern, basis: BSplineBasis, *,
                  noise_variance=1.0, mesh=None, axis="data", dtype=None,
                  backend=None, timings: dict | None = None):
-        X, y = data
-        X = jnp.asarray(X)
+        import numpy as _np
+
+        X_in, y = data
+        X = jnp.asarray(X_in)
         y = jnp.asarray(y)
         if X.ndim == 2:
             if X.shape[1] != 1:
@@ -278,8 +280,11 @@ class GPR1D:
         yf = jnp.reshape(y, (-1,))
         if X.shape[0] != yf.shape[0]:
             raise ValueError("X and y must have the same number of points")
-        # domain check (reference asserts a < X < b, gpr.py:25-26)
-        xmin, xmax = float(jnp.min(X)), float(jnp.max(X))
+        # domain check (reference asserts a < X < b, gpr.py:25-26) —
+        # host-side when the caller passed host data: eager jnp reductions
+        # each compile+dispatch through the TPU relay (seconds at N=1e6)
+        xv = X_in if isinstance(X_in, _np.ndarray) else _np.asarray(X)
+        xmin, xmax = float(xv.min()), float(xv.max())
         if not (xmin > basis.a and xmax < basis.b):
             raise ValueError(
                 f"all inputs must lie strictly inside [{basis.a}, {basis.b}], "

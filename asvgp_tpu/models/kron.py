@@ -152,17 +152,22 @@ class GPRKron:
     def __init__(self, data, kernels, bases, *, noise_variance=1.0,
                  mesh=None, axis="data", backend=None,
                  timings: dict | None = None):
-        X, y = data
-        X = jnp.asarray(X)
+        import numpy as _np
+
+        X_in, y = data
+        X = jnp.asarray(X_in)
         y = jnp.asarray(y)
         if X.ndim != 2 or X.shape[1] < 2:
             raise ValueError("GPRKron requires inputs of shape (n, D) with D >= 2")
         D = X.shape[1]
         if len(kernels) != D or len(bases) != D:
             raise ValueError("need one kernel and one basis per input dimension")
+        # host-side domain validation (see gpr1d.py: eager jnp reductions
+        # compile+dispatch through the TPU relay, seconds at N=2e6)
+        xv = X_in if isinstance(X_in, _np.ndarray) else _np.asarray(X)
         for d, basis in enumerate(bases):
-            lo = float(jnp.min(X[:, d]))
-            hi = float(jnp.max(X[:, d]))
+            lo = float(xv[:, d].min())
+            hi = float(xv[:, d].max())
             if not (lo > basis.a and hi < basis.b):
                 raise ValueError(
                     f"dim {d}: inputs must lie strictly inside "

@@ -36,6 +36,73 @@ from asvgp_tpu.stats.additive import (
 
 _LOG2PI = math.log(2.0 * math.pi)
 
+# panel width for the block route of the dense coupling factorization; the
+# Mosaic panel kernel (banded/pallas_ds_block.py) handles B <= 128
+_BLOCK_B = 128
+
+
+def _use_block_route(P) -> bool:
+    """Route the dense M×M coupling factorization through the block-banded
+    DS ops (banded/block.py, full block bandwidth) on accelerators.
+
+    dsx's scan Cholesky/solves advance ONE column per lax.scan iteration —
+    M sequential steps of rank-1 work, latency-bound on this platform
+    (ADDITIVE_PROBE r5 first capture: TPU value+grad 34 ms vs CPU-f64
+    18.6 ms at M=1000).  The block route factors 128-wide panels with the
+    hardware-validated panel sweep and does every trailing update as one
+    Ozaki exact-bf16 MXU matmul — the same machinery as the Kron coupling
+    (PANELCHECK.json), reused here with W = nb-1 (a dense matrix is a
+    block-banded matrix of full bandwidth).  CPU keeps plain f64 dsx."""
+    from asvgp_tpu.banded.block import _use_ds
+
+    return _use_ds(P) and P.shape[0] > _BLOCK_B
+
+
+def _to_blocks(P, rhs):
+    """Pad the SPD (M, M) matrix to a multiple of _BLOCK_B (identity on the
+    padded diagonal: unit pivots contribute 0 to log|P|; padded rhs rows are
+    zero so padded solution entries are zero) and extract full-bandwidth
+    block-lower storage."""
+    from asvgp_tpu.banded import block as _block
+
+    M = P.shape[0]
+    n_pad = (-M) % _BLOCK_B
+    if n_pad:
+        P = jnp.pad(P, ((0, n_pad), (0, n_pad)))
+        r = jnp.arange(M, M + n_pad)
+        P = P.at[r, r].set(1.0)
+        rhs = jnp.pad(rhs, (0, n_pad))
+    nb = P.shape[0] // _BLOCK_B
+    return _block.dense_to_block_band(P, nb - 1, _BLOCK_B), rhs, M
+
+
+def _logdet_halfsolve_block(P, rhs):
+    """(log|P|, L⁻¹ rhs) of the dense coupling via the block-banded ops
+    (value AND gradient: banded/block.py custom VJPs)."""
+    from asvgp_tpu.banded import block as _block
+
+    blocks, rhs_p, M = _to_blocks(P, rhs)
+    L = _block.cholesky_block_banded(blocks)
+    log_det = _block.log_det_from_block_cholesky(L)
+    c = _block.solve_lower_block_banded(L, rhs_p)
+    return log_det, c[:M]
+
+
+def _solve_and_inverse_block(P, rhs):
+    """(P⁻¹ rhs, dense P⁻¹) via block Cholesky + solves + block Takahashi
+    (full bandwidth ⇒ the Takahashi recursion yields the exact full
+    inverse).  Posterior/prediction path — no gradients required."""
+    from asvgp_tpu.banded import block as _block
+
+    blocks, rhs_p, M = _to_blocks(P, rhs)
+    L = _block.cholesky_block_banded(blocks)
+    w = _block.solve_upper_block_banded_transpose(
+        L, _block.solve_lower_block_banded(L, rhs_p)
+    )
+    S = _block.takahashi_inverse_block_banded(L)
+    Pinv = _block.block_band_to_dense(S)
+    return w[:M], Pinv[:M, :M]
+
 
 def _dense_p(bases, stats, kuu_bands, sigma2):
     P = stats.kufkfu / sigma2
@@ -81,11 +148,16 @@ def additive_collapsed_elbo(bases, nu2s, params, stats):
         trace_term = trace_term + banded.band_frobenius(s_band, blk_band)
 
     P = _dense_p(bases, stats, kuu_bands, sigma2)
-    # dense coupling factorization: DS on accelerators (banded/dsx.py),
-    # plain f64 elsewhere
-    L = dsx.cholesky_auto(P)
-    log_det_p = 2.0 * jnp.sum(jnp.log(jnp.diagonal(L)))
-    c = dsx.solve_triangular_auto(L, stats.kuf_y) / sigma2
+    # dense coupling factorization: block-banded DS ops at full block
+    # bandwidth on accelerators (panel sweeps + Ozaki MXU trailing
+    # updates), plain-f64 column scans elsewhere
+    if _use_block_route(P):
+        log_det_p, c = _logdet_halfsolve_block(P, stats.kuf_y)
+        c = c / sigma2
+    else:
+        L = dsx.cholesky_auto(P)
+        log_det_p = 2.0 * jnp.sum(jnp.log(jnp.diagonal(L)))
+        c = dsx.solve_triangular_auto(L, stats.kuf_y) / sigma2
     total_variance = sum(k.variance for k in kernels)
 
     elbo = -0.5 * stats.n * (_LOG2PI + jnp.log(sigma2))
@@ -213,9 +285,13 @@ class GPRAdditive:
         s_bands = [banded.takahashi_inverse_band(lb) for lb in l_bands]
 
         P = self._dense_p(kuu_bands, sigma2)
-        L = dsx.cholesky_auto(P)
-        w = dsx.cho_solve_auto(L, self.stats.kuf_y) / sigma2
-        Pinv = dsx.cho_solve_auto(L, jnp.eye(P.shape[0], dtype=P.dtype))
+        if _use_block_route(P):
+            w, Pinv = _solve_and_inverse_block(P, self.stats.kuf_y)
+            w = w / sigma2
+        else:
+            L = dsx.cholesky_auto(P)
+            w = dsx.cho_solve_auto(L, self.stats.kuf_y) / sigma2
+            Pinv = dsx.cho_solve_auto(L, jnp.eye(P.shape[0], dtype=P.dtype))
 
         x = jnp.asarray(Xnew)
         evals = [b.evaluate_basis(x[:, d], dx=0) for d, b in enumerate(self.bases)]

@@ -87,6 +87,9 @@ def main():
                 t0 = time.time()
                 float(k_steps(p0)[0])
                 ts.append(time.time() - t0)
+            # hardware-vs-oracle gradient row (round-4 verdict weak #5:
+            # every numeric path that ships gets a hardware check)
+            v0, g0 = jax.block_until_ready(vg(p0))
             return {
                 "device": str(device),
                 "t_precompute_s": round(t_pre, 2),
@@ -94,15 +97,19 @@ def main():
                 "value_grad_step_s": round(
                     float(np.median(ts)) / ITERS, 4),
                 "loss0": float(vs[0]),
-            }
+            }, np.concatenate([
+                np.asarray(x, dtype=np.float64).ravel()
+                for x in jax.tree.leaves(g0)
+            ])
 
     print("TPU leg...", flush=True)
-    res_tpu = leg(tpu, reps=3)
+    res_tpu, g_tpu = leg(tpu, reps=3)
     print(json.dumps(res_tpu), flush=True)
     print("CPU f64 leg...", flush=True)
-    res_cpu = leg(cpu, reps=2)
+    res_cpu, g_cpu = leg(cpu, reps=2)
     print(json.dumps(res_cpu), flush=True)
 
+    gref = np.maximum(np.abs(g_cpu), 1e-6 * np.abs(g_cpu).max())
     out = {
         "config": {"n": N, "d": D, "m_per_dim": M_PER_DIM,
                    "coupled_features": D * M_PER_DIM},
@@ -111,6 +118,9 @@ def main():
         "cpu_f64": res_cpu,
         "loss_rel_err_vs_f64": abs(res_tpu["loss0"] - res_cpu["loss0"])
         / abs(res_cpu["loss0"]),
+        "grad_max_rel_err_vs_f64": float(
+            np.max(np.abs(g_tpu - g_cpu) / gref)
+        ),
         "vs_baseline_step": round(
             res_cpu["value_grad_step_s"] / res_tpu["value_grad_step_s"], 2),
     }

@@ -50,9 +50,49 @@ def make_data(n, seed):
     return x, f + 0.3 * rng.randn(n)
 
 
-def run_split(args, seed, fit_cache=None):
-    x, y = make_data(args.n, seed)
-    n_test = max(1, args.n // 20)  # 95/5 split (reference protocol)
+def load_data(path):
+    """``--data`` hook for a real dataset (the reference's electricity
+    pickle — electricity.py:30 — is not distributable in this image).
+
+    Accepts ``.npy``/``.npz`` (an (n, 2) array, or arrays named x/y), a
+    two-column ``.csv``, or a pickle of anything with two columns (e.g. a
+    pandas DataFrame).  Inputs are min-max scaled strictly inside (0, 1)
+    and targets standardized, matching the synthetic protocol's domain.
+    """
+    if path.endswith(".npz"):
+        z = np.load(path)
+        x, y = (z["x"], z["y"]) if "x" in z else tuple(z[k] for k in z)[:2]
+    elif path.endswith(".npy"):
+        arr = np.load(path)
+        x, y = arr[:, 0], arr[:, 1]
+    elif path.endswith(".csv"):
+        arr = np.loadtxt(path, delimiter=",")
+        x, y = arr[:, 0], arr[:, 1]
+    else:
+        import pickle
+
+        with open(path, "rb") as f:
+            obj = pickle.load(f)
+        arr = np.asarray(obj)
+        x, y = arr[:, 0], arr[:, 1]
+    x = np.asarray(x, np.float64).ravel()
+    y = np.asarray(y, np.float64).ravel()
+    lo, hi = x.min(), x.max()
+    x = 0.002 + 0.996 * (x - lo) / (hi - lo)
+    y = (y - y.mean()) / y.std()
+    return x, y
+
+
+def run_split(args, seed, fit_cache=None, data=None):
+    if data is not None:
+        # 5 random 95/5 splits of the SAME dataset (reference protocol,
+        # electricity.py:128-142)
+        xall, yall = data
+        perm = np.random.RandomState(seed).permutation(xall.shape[0])
+        x, y = xall[perm], yall[perm]
+    else:
+        x, y = make_data(args.n, seed)
+    n_test = max(1, x.shape[0] // 20)  # 95/5 split (reference protocol)
     xtr, ytr = x[n_test:], y[n_test:]
     xte, yte = x[:n_test], y[:n_test]
 
@@ -210,7 +250,12 @@ def main():
     ap.add_argument("--svgp-steps", type=int, default=10000)
     ap.add_argument("--out", type=str, default=None,
                     help="write a JSON metrics artifact here")
+    ap.add_argument("--data", type=str, default=None,
+                    help="real dataset (.npy/.npz/.csv/pickle of x,y) run "
+                         "through the same 5-split protocol; default is "
+                         "the synthetic stand-in")
     args = ap.parse_args()
+    data = load_data(args.data) if args.data else None
 
     # absorb any relay grant-wait BEFORE the timed phases (utils/relay.py;
     # recorded in the artifact, never inside a fold's timing fields)
@@ -224,7 +269,7 @@ def main():
     fit_cache = {}
     rows = []
     for seed in range(args.splits):
-        rows.append(run_split(args, seed, fit_cache=fit_cache))
+        rows.append(run_split(args, seed, fit_cache=fit_cache, data=data))
         print(f"split {seed}: " + ", ".join(
             f"{k}={v:.6g}" if isinstance(v, (int, float)) else f"{k}={v}"
             for k, v in rows[-1].items()), flush=True)

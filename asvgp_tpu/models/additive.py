@@ -231,7 +231,8 @@ class GPRAdditive:
             ],
             "likelihood": {"raw_variance": inv(self.noise_variance_init)},
         }
-        return jax.device_put(params, _ec.params_device(self.stats))
+        dev = _ec.init_device(self.stats)
+        return jax.device_put(params, dev) if dev is not None else params
 
     def _build(self, params):
         kernels = [

@@ -337,7 +337,8 @@ class GPR1D:
         # for fit_lbfgs's executable-cache keys
         from asvgp_tpu.utils import exec_cache as _ec
 
-        return jax.device_put(params, _ec.params_device(self.stats))
+        dev = _ec.init_device(self.stats)
+        return jax.device_put(params, dev) if dev is not None else params
 
     def _build(self, params):
         return params_to_kernel(params, self.nu2), params_to_likelihood(params)

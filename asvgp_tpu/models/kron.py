@@ -251,7 +251,8 @@ class GPRKron:
             ],
             "likelihood": {"raw_variance": inv(self.noise_variance_init)},
         }
-        return jax.device_put(params, _ec.params_device(self.stats))
+        dev = _ec.init_device(self.stats)
+        return jax.device_put(params, dev) if dev is not None else params
 
     def _build(self, params):
         kernels = kron_params_to_kernels(params, self.nu2s)

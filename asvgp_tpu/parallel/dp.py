@@ -201,8 +201,25 @@ def _wrap_in_mesh(step, mesh, backend):
 
     from asvgp_tpu.banded import ops as _bops
 
+    replicated = jax.NamedSharding(mesh, P())
+
+    def _replicate(tree):
+        # params/opt_state may arrive committed to a single device (model
+        # init_params device_puts onto the stats' device for the
+        # single-chip fit path) — a mesh-jitted step rejects such
+        # arguments ("Received incompatible devices").  Re-place anything
+        # device-committed into the mesh-replicated sharding; host values
+        # pass through untouched (jit places them itself).
+        def place(leaf):
+            if getattr(leaf, "sharding", None) is not None \
+                    and leaf.sharding != replicated:
+                return jax.device_put(leaf, replicated)
+            return leaf
+
+        return jax.tree.map(place, tree)
+
     def step_in_mesh(params, opt_state, x, y):
         with jax.set_mesh(mesh), _bops.impl_scope(backend):
-            return step(params, opt_state, x, y)
+            return step(_replicate(params), _replicate(opt_state), x, y)
 
     return step_in_mesh

@@ -142,6 +142,23 @@ def params_platform(params, default=None) -> str:
     return params_device(params).platform
 
 
+def init_device(tree):
+    """Device to commit freshly built params to: the single device the
+    model's stats live on, or None when the stats are sharded over a mesh —
+    committing params to one device makes mesh-jitted DP steps reject them
+    ("Received incompatible devices"); uncommitted host values are placed
+    by the consuming jit instead."""
+    for leaf in jax.tree.leaves(tree):
+        devs = getattr(leaf, "devices", None)
+        if callable(devs):
+            ds = devs()
+            if len(ds) > 1:
+                return None
+            if ds:
+                return next(iter(ds))
+    return jax.devices(jax.default_backend())[0]
+
+
 def load_executable(path, device=None):
     """Deserialize a compiled executable saved by save_executable.  Returns
     the loaded callable or None (missing/corrupt/incompatible blob — the

@@ -41,11 +41,13 @@ def test_gpr1d_posterior_predict_cached_exact(cache_env):
 
     model = GPR1D((x, y), Matern32(), B3Spline(0.0, 1.0, 40))
     params = model.init_params()
+    n_build = len(_blobs(cache_env))  # stats build (also exec-cached)
+    assert n_build >= 1
 
     post = model.posterior(params)
     m1, v1 = post.predict_f(xs)
     blobs = _blobs(cache_env)
-    assert len(blobs) == 2  # posterior factorization + predict chunk
+    assert len(blobs) == n_build + 2  # + posterior factorization + predict chunk
 
     # "new process": memo cleared, fresh model — must load from disk and
     # reproduce exactly
@@ -84,10 +86,12 @@ def test_kron_posterior_predict_cached_exact(cache_env):
 
     model = build()
     params = model.init_params()
+    n_build = len(_blobs(cache_env))  # stats build (also exec-cached)
+    assert n_build >= 1
     post = model.posterior(params)
     m1, v1 = post.predict_f(Xs)
     blobs = _blobs(cache_env)
-    assert len(blobs) == 2
+    assert len(blobs) == n_build + 2
 
     exec_cache._MEMO.clear()
     post2 = build().posterior(params)
@@ -108,8 +112,11 @@ def test_cache_key_distinguishes_basis_domain(cache_env):
 
     m1 = GPR1D((x, y), Matern32(), B3Spline(0.0, 1.0, 30))
     m2 = GPR1D((x, y), Matern32(), B3Spline(0.25, 0.75, 30))
+    n_build = len(_blobs(cache_env))
+    assert n_build == 2  # one stats executable per domain, not shared
     p = m1.init_params()
     r1 = m1.posterior(p).predict_f(xs)
     r2 = m2.posterior(p).predict_f(xs)
-    assert len(_blobs(cache_env)) == 4  # nothing shared across domains
+    # + per-domain posterior factorization and predict chunk, none shared
+    assert len(_blobs(cache_env)) == n_build + 4
     assert not np.allclose(np.asarray(r1[1]), np.asarray(r2[1]))
